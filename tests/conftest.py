@@ -1,0 +1,39 @@
+"""Test harness configuration.
+
+Tests run on the CPU backend with 8 fake host devices so that the
+multi-chip sharding paths (pjit/shard_map over a Mesh) are exercised
+without TPU hardware, per SURVEY.md §4 (d).  x64 is enabled: parity
+tests against the reference's float64 artifacts need double precision.
+"""
+
+import os
+
+# Must be set before the first jax import anywhere in the test session.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference repo not mounted")
+    return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,142 @@
+"""Golden-value parity against the reference's shipped model artifacts.
+
+The north-star contract (BASELINE.md): eigenspace projections and
+distances computed by this framework match the reference pipeline to
+1e-5.  Oracles are the pickles the reference author shipped:
+
+* v1: ``models/Joseph_Lai_light_pca_model.pkl`` -- project the original
+  ``faces/Light_version`` stills through the shipped eigenbasis and
+  compare against the stored ``projected_data`` rows.
+* v2: ``faces/lock_version/Joseph_Lai/face_model.pkl`` -- run our fused
+  crop->feature path on the shipped crops and compare against sklearn's
+  own transform plus the stored gallery features.
+"""
+
+import glob
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from face_detection_recognization_pca_tpu.io.artifacts import load_model
+from face_detection_recognization_pca_tpu.models import eigenfaces as ef
+from face_detection_recognization_pca_tpu.ops.preprocess import preprocess_crops
+from face_detection_recognization_pca_tpu.ops.similarity import cosine_gallery
+
+
+@pytest.fixture(scope="module")
+def v1_model(reference_root):
+    path = os.path.join(reference_root, "models/Joseph_Lai_light_pca_model.pkl")
+    if not os.path.exists(path):
+        pytest.skip("shipped v1 pickle missing")
+    return load_model(path)
+
+
+@pytest.fixture(scope="module")
+def v2_model(reference_root):
+    path = os.path.join(
+        reference_root, "faces/lock_version/Joseph_Lai/face_model.pkl"
+    )
+    if not os.path.exists(path):
+        pytest.skip("shipped v2 pickle missing")
+    return load_model(path)
+
+
+def test_v1_projection_parity(reference_root, v1_model):
+    """Project shipped stills through the shipped basis: rows must match
+    projected_data to float64 precision (<< 1e-5)."""
+    art = v1_model
+    assert art.schema == "v1"
+    names = art.training_filenames[:16]
+    faces_dir = os.path.join(reference_root, "faces/Light_version")
+    vecs, rows = [], []
+    for i, name in enumerate(names):
+        img = cv2.imread(os.path.join(faces_dir, name), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            continue
+        vecs.append(img.flatten().astype(np.float64))
+        rows.append(i)
+    assert len(vecs) >= 8
+    x = np.stack(vecs)
+    model = ef.from_artifact(art, dtype=np.float64)
+    ours = np.asarray(ef.project_vectors(model, x))
+    ref_rows = art.features[rows]
+    np.testing.assert_allclose(ours, ref_rows, rtol=1e-9, atol=1e-6)
+
+
+def test_v1_cosine_match_parity(reference_root, v1_model):
+    """Cosine of a training still vs the gallery must peak at itself with
+    similarity ~1 (the reference's recognition oracle)."""
+    art = v1_model
+    faces_dir = os.path.join(reference_root, "faces/Light_version")
+    name = art.training_filenames[3]
+    img = cv2.imread(os.path.join(faces_dir, name), cv2.IMREAD_GRAYSCALE)
+    model = ef.from_artifact(art, dtype=np.float64)
+    feat = np.asarray(
+        ef.project_vectors(model, img.flatten().astype(np.float64)[None])
+    )
+    scores = np.asarray(cosine_gallery(feat, art.features))
+    assert int(scores[0].argmax()) == 3
+    assert scores[0, 3] > 0.999999
+
+
+def test_v2_feature_parity_vs_sklearn(reference_root, v2_model):
+    """Our fused exact path == sklearn transform on cv2 preprocessing."""
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841
+    import pickle
+
+    art = v2_model
+    with open(
+        os.path.join(reference_root, "faces/lock_version/Joseph_Lai/face_model.pkl"),
+        "rb",
+    ) as f:
+        raw = pickle.load(f)  # real sklearn objects
+    pca = raw.get("pca", raw.get("pca_model"))
+    scaler = raw["scaler"]
+
+    paths = sorted(
+        glob.glob(
+            os.path.join(reference_root, "faces/lock_version/Joseph_Lai/face_*.jpg")
+        )
+    )[:8]
+    crops = [cv2.imread(p) for p in paths]  # varying sizes
+
+    model = ef.from_artifact(art, dtype=np.float64)
+    for c in crops:
+        # Reference chain: BGR->gray->resize(64,64)->flatten->scale->project.
+        g = cv2.resize(cv2.cvtColor(c, cv2.COLOR_BGR2GRAY), (64, 64))
+        v = g.flatten().reshape(1, -1)
+        ref_feat = pca.transform(scaler.transform(v))[0]
+        ours = np.asarray(ef.extract_features(model, c[None], exact=True))[0]
+        np.testing.assert_allclose(ours, ref_feat, rtol=1e-5, atol=1e-4)
+
+
+def test_v2_gallery_self_similarity(reference_root, v2_model):
+    """Shipped crops must match the shipped gallery features: each crop's
+    nearest gallery row under cosine is ~1.0 similarity."""
+    art = v2_model
+    info = art.face_info or []
+    if not info:
+        pytest.skip("face_info missing from shipped pickle")
+    # face_info rows are aligned with gallery rows; use the recorded paths.
+    crops, idx = [], []
+    person_dir = os.path.join(reference_root, "faces/lock_version/Joseph_Lai")
+    for i, r in enumerate(info[:6]):
+        # Recorded paths may be Windows-style; resolve by basename.
+        raw = str(r.get("image_path", "")).replace("\\", "/")
+        p = os.path.join(person_dir, os.path.basename(raw))
+        img = cv2.imread(p)
+        if img is not None:
+            crops.append(img)
+            idx.append(i)
+    if len(crops) < 3:
+        pytest.skip("shipped crop files not resolvable")
+    model = ef.from_artifact(art, dtype=np.float64)
+    for img, i in zip(crops, idx):
+        feat = np.asarray(ef.extract_features(model, img[None], exact=True))
+        scores = np.asarray(
+            cosine_gallery(feat, art.features.astype(np.float64))
+        )[0]
+        assert scores.argmax() == i
+        assert scores[i] > 0.9999
