@@ -1,0 +1,131 @@
+"""Template detection engines: parity vs reference-style cv2 loop, and
+fused-engine correctness on planted faces."""
+
+import glob
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from face_detection_recognization_pca_tpu.config import DetectConfig
+from face_detection_recognization_pca_tpu.detect.guided import GuidedMatcher
+from face_detection_recognization_pca_tpu.detect.template import (
+    TemplateBank,
+    TemplateDetector,
+)
+
+
+@pytest.fixture(scope="module")
+def face_crop(reference_root):
+    paths = sorted(
+        glob.glob(
+            os.path.join(reference_root, "faces/lock_version/Joseph_Lai/face_*.jpg")
+        )
+    )
+    if not paths:
+        pytest.skip("no reference crops")
+    return cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
+
+
+def _plant(frame, crop, x, y):
+    h, w = crop.shape
+    frame[y : y + h, x : x + w] = crop
+    return frame
+
+
+def test_parity_engine_finds_planted_face(face_crop, rng):
+    crop = cv2.resize(face_crop, (80, 80))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (31, 31), 10)
+    _plant(frame, crop, 250, 180)
+    bank = TemplateBank([("Joseph_Lai", crop)], canonical_size=None)
+    det = TemplateDetector(bank, DetectConfig())
+    out = det.detect_parity(frame)
+    assert len(out) == 1
+    d = out[0]
+    assert d.person_name == "Joseph_Lai"
+    assert (d.x, d.y) == (250, 180)
+    assert d.confidence > 0.99
+    assert d.scale == 1.0
+
+
+def test_parity_engine_matches_cv2_oracle(face_crop, rng):
+    """Score/selection identical to a direct cv2 reimplementation of the
+    reference loop on the same inputs."""
+    crop = cv2.resize(face_crop, (72, 90))
+    frame = rng.integers(0, 256, (360, 480), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (15, 15), 6)
+    _plant(frame, cv2.resize(crop, (86, 108)), 150, 100)  # 1.2x scale hit
+
+    cfg = DetectConfig()
+    bank = TemplateBank([("p", crop)], canonical_size=None)
+    ours = TemplateDetector(bank, cfg).detect_parity(frame)
+
+    best_score, best = -1.0, None
+    fh, fw = frame.shape
+    for scale in cfg.template_scales:
+        nw, nh = int(crop.shape[1] * scale), int(crop.shape[0] * scale)
+        if nw < 20 or nh < 20 or nw > fw or nh > fh:
+            continue
+        scaled = cv2.resize(crop, (nw, nh))
+        res = cv2.matchTemplate(frame, scaled, cv2.TM_CCOEFF_NORMED)
+        _, mv, _, ml = cv2.minMaxLoc(res)
+        if mv > best_score:
+            best_score, best = mv, (ml[0], ml[1], nw, nh)
+    assert ours, "detector found nothing"
+    d = ours[0]
+    assert (d.x, d.y, d.width, d.height) == best
+    assert abs(d.confidence - best_score) < 1e-3
+
+
+def test_fused_engine_finds_planted_face(face_crop, rng):
+    crop = np.asarray(cv2.resize(face_crop, (128, 128)))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (31, 31), 10)
+    _plant(frame, crop, 300, 200)
+    bank = TemplateBank(
+        [("Joseph_Lai", crop), ("other", 255 - crop)], canonical_size=(128, 128)
+    )
+    det = TemplateDetector(bank, DetectConfig())
+    out = det.detect_fused(frame)
+    names = [d.person_name for d in out]
+    assert "Joseph_Lai" in names
+    d = next(x for x in out if x.person_name == "Joseph_Lai")
+    assert abs(d.x - 300) <= 2 and abs(d.y - 200) <= 2
+    assert d.confidence > 0.95
+
+
+def test_fused_engine_corner_rejection(face_crop, rng):
+    crop = np.asarray(cv2.resize(face_crop, (128, 128)))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (31, 31), 10)
+    _plant(frame, crop, 0, 0)  # top-left corner -> must be rejected
+    bank = TemplateBank([("p", crop)], canonical_size=(128, 128))
+    out = TemplateDetector(bank, DetectConfig()).detect_fused(frame)
+    for d in out:
+        assert not (d.x < 32 and d.y < 24)
+
+
+def test_guided_matcher_tracks_prior(face_crop, rng):
+    class Prior:
+        width, height = 90, 90
+        center_x, center_y = 305, 245
+
+    crop = cv2.resize(face_crop, (90, 90))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (21, 21), 8)
+    _plant(frame, crop, 270, 210)  # within the 1.5x search window of prior
+    gm = GuidedMatcher(face_crop, search_scale=1.5)
+    hit = gm.match_frame(frame, [Prior()])
+    assert hit is not None
+    # cv2 oracle on the same window
+    sw, sh = int(90 * 1.5), int(90 * 1.5)
+    sx = max(0, 305 - sw // 2)
+    sy = max(0, 245 - sh // 2)
+    region = frame[sy : sy + sh, sx : sx + sw]
+    tmpl = cv2.resize(face_crop, (90, 90))
+    res = cv2.matchTemplate(region, tmpl, cv2.TM_CCOEFF_NORMED)
+    _, mv, _, ml = cv2.minMaxLoc(res)
+    assert (hit["x"], hit["y"]) == (sx + ml[0], sy + ml[1])
+    assert abs(hit["confidence"] - mv) < 1e-3
