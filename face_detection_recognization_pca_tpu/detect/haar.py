@@ -1,0 +1,415 @@
+"""Viola-Jones Haar cascade as a TPU-native two-phase evaluator.
+
+The reference detects faces with
+``cv2.CascadeClassifier('haarcascade_frontalface_default.xml')
+.detectMultiScale(gray, 1.1, 5, minSize=(30, 30))``
+(``detection-v4.py:18,50-55``).  A data-dependent early-exit cascade is
+hostile to XLA, so this engine restructures it for dense hardware:
+
+1. **Pyramid**: like modern OpenCV, the *image* is rescaled per level
+   (factor ``1.1^i``) and the 24x24 cascade always runs at base size,
+   windows on a stride-2 grid (stride 1 for levels with factor > 2).
+2. **Phase A (dense prefilter)**: the first few stages (default 3,
+   ~52 stumps) are evaluated for *every* window simultaneously -- each
+   Haar rect sum is a strided-slice combination of the level's integral
+   image, so the whole grid evaluates with pure VPU arithmetic, no
+   gathers.
+3. **Phase B (candidate matmul)**: top-K windows surviving Phase A have
+   their 25x25 integral patches gathered into a ``(K, 625)`` matrix;
+   *all* 2913 stump rect-sums for all candidates are then one
+   ``(K, 625) @ (625, S)`` MXU matmul against a precomputed sparse
+   corner-weight matrix, followed by vectorized leaf selection and
+   per-stage sum/threshold tests.  The early-exit semantics are
+   reproduced exactly (a window must pass every stage), just evaluated
+   breadth-first.
+
+Window normalization follows OpenCV's current convention: inner
+``(1, 1, 22, 22)`` norm rect, ``nf = sqrt(area * sqsum - sum^2)``
+(clamped to 1 when non-positive), stump test
+``rectsum < threshold * nf``.
+
+Grouping reproduces ``groupRectangles(minNeighbors, eps=0.2)``:
+union-find partition under the SimilarRects predicate, cluster
+averaging, count thresholding, and the contained-in-bigger-cluster
+rejection pass.  Tilted features are not supported (the default
+frontal-face cascade has none).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import xml.etree.ElementTree as ET
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from face_detection_recognization_pca_tpu.ops.resize import resize_bilinear
+
+DEFAULT_CASCADE_PATHS = (
+    "/usr/share/opencv4/haarcascades/haarcascade_frontalface_default.xml",
+    "haarcascade_frontalface_default.xml",
+)
+
+
+@dataclasses.dataclass
+class HaarCascade:
+    """Parsed stump cascade in flat arrays."""
+
+    window_size: Tuple[int, int]  # (h, w), typically (24, 24)
+    stage_thresholds: np.ndarray  # (nstages,)
+    stage_offsets: np.ndarray  # (nstages + 1,) stump index ranges
+    stump_feature: np.ndarray  # (S,) feature index per stump
+    stump_threshold: np.ndarray  # (S,)
+    leaf0: np.ndarray  # (S,) value when rectsum <  t * nf
+    leaf1: np.ndarray  # (S,) value when rectsum >= t * nf
+    rects: np.ndarray  # (F, 3, 5) x, y, w, h, weight (0-weight padded)
+    corner_matrix: np.ndarray  # (625, S) f32: patch -> rectsum matmul
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.stage_thresholds)
+
+    @property
+    def n_stumps(self) -> int:
+        return len(self.stump_threshold)
+
+
+def _parse_numbers(text: str) -> List[float]:
+    return [float(t) for t in text.split()]
+
+
+def load_cascade(path: Optional[str] = None) -> HaarCascade:
+    """Parse an OpenCV new-format (cascade-classifier) stump XML."""
+    import os
+
+    if path is None:
+        for p in DEFAULT_CASCADE_PATHS:
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            raise FileNotFoundError(
+                "no haarcascade_frontalface_default.xml found; pass a path"
+            )
+    root = ET.parse(path).getroot()
+    casc = root.find("cascade")
+    if casc is None:
+        raise ValueError(f"{path}: not a new-format cascade XML")
+    if casc.findtext("featureType", "").strip() != "HAAR":
+        raise ValueError("only HAAR featureType cascades are supported")
+    height = int(casc.findtext("height"))
+    width = int(casc.findtext("width"))
+
+    stage_thresholds = []
+    stage_offsets = [0]
+    stump_feature, stump_threshold, leaf0, leaf1 = [], [], [], []
+    for stage in casc.find("stages"):
+        stage_thresholds.append(float(stage.findtext("stageThreshold")))
+        weaks = stage.find("weakClassifiers")
+        for weak in weaks:
+            nodes = _parse_numbers(weak.findtext("internalNodes"))
+            leaves = _parse_numbers(weak.findtext("leafValues"))
+            if len(nodes) != 4 or len(leaves) != 2:
+                raise ValueError("only stump cascades are supported")
+            stump_feature.append(int(nodes[2]))
+            stump_threshold.append(nodes[3])
+            leaf0.append(leaves[0])
+            leaf1.append(leaves[1])
+        stage_offsets.append(len(stump_feature))
+
+    feats = casc.find("features")
+    rects = np.zeros((len(feats), 3, 5), dtype=np.float64)
+    for fi, feat in enumerate(feats):
+        tilted = feat.findtext("tilted")
+        if tilted is not None and int(tilted.strip()) != 0:
+            raise ValueError("tilted Haar features are not supported")
+        for ri, r in enumerate(feat.find("rects")):
+            vals = _parse_numbers(r.text)
+            rects[fi, ri, :] = vals
+
+    S = len(stump_feature)
+    stump_feature = np.asarray(stump_feature, dtype=np.int32)
+    # Corner matrix: patch (25 x 25 integral window, flattened 625) ->
+    # rect sums for every stump.  Rect (x, y, w, h, wt) contributes
+    # +wt at (y, x) & (y+h, x+w), -wt at (y, x+w) & (y+h, x).
+    side = max(height, width) + 1
+    corner = np.zeros((side * side, S), dtype=np.float32)
+    for s in range(S):
+        for (x, y, w, h, wt) in rects[stump_feature[s]]:
+            if wt == 0.0:
+                continue
+            x, y, w, h = int(x), int(y), int(w), int(h)
+            corner[y * side + x, s] += wt
+            corner[(y + h) * side + (x + w), s] += wt
+            corner[y * side + (x + w), s] -= wt
+            corner[(y + h) * side + x, s] -= wt
+
+    return HaarCascade(
+        window_size=(height, width),
+        stage_thresholds=np.asarray(stage_thresholds, dtype=np.float32),
+        stage_offsets=np.asarray(stage_offsets, dtype=np.int32),
+        stump_feature=stump_feature,
+        stump_threshold=np.asarray(stump_threshold, dtype=np.float32),
+        leaf0=np.asarray(leaf0, dtype=np.float32),
+        leaf1=np.asarray(leaf1, dtype=np.float32),
+        rects=rects,
+        corner_matrix=corner,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Level evaluation
+# ---------------------------------------------------------------------------
+
+
+def _grid_rect_sum(integral, x, y, w, h, ny, nx, step):
+    """Rect sum for every grid window via 4 strided slices."""
+
+    def sl(dy, dx):
+        return lax.slice(
+            integral,
+            (y + dy, x + dx),
+            (y + dy + (ny - 1) * step + 1, x + dx + (nx - 1) * step + 1),
+            (step, step),
+        )
+
+    return sl(h, w) - sl(h, 0) - sl(0, w) + sl(0, 0)
+
+
+def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
+    """Build the jitted per-level evaluator (closed over cascade consts)."""
+    wh, ww = cascade.window_size
+    side = max(wh, ww) + 1
+    pf_end = int(cascade.stage_offsets[min(prefilter_stages, cascade.n_stages)])
+    sf = cascade.stump_feature
+    rects = cascade.rects
+    st = cascade.stump_threshold
+    l0, l1 = cascade.leaf0, cascade.leaf1
+    soff = cascade.stage_offsets
+    sthr = cascade.stage_thresholds
+    corner = jnp.asarray(cascade.corner_matrix)  # (625, S)
+    # Per-stump stage membership matrix for the matmul phase.
+    S = cascade.n_stumps
+    stage_of = np.zeros(S, dtype=np.int32)
+    for si in range(cascade.n_stages):
+        stage_of[soff[si] : soff[si + 1]] = si
+    stage_of = jnp.asarray(stage_of)
+    norm_area = (wh - 2) * (ww - 2)
+
+    @functools.partial(jax.jit, static_argnames=("ny", "nx", "step"))
+    def level_fn(img: jnp.ndarray, ny: int, nx: int, step: int):
+        f = img.astype(jnp.float32)
+        pad = [(1, 0), (1, 0)]
+        integral = jnp.pad(
+            jnp.cumsum(jnp.cumsum(f, axis=0), axis=1), pad
+        )
+        sqintegral = jnp.pad(
+            jnp.cumsum(jnp.cumsum(f * f, axis=0), axis=1), pad
+        )
+
+        # Window normalization over the inner (1,1,wh-2,ww-2) rect.
+        s1 = _grid_rect_sum(integral, 1, 1, ww - 2, wh - 2, ny, nx, step)
+        s2 = _grid_rect_sum(sqintegral, 1, 1, ww - 2, wh - 2, ny, nx, step)
+        nf2 = norm_area * s2 - s1 * s1
+        nf = jnp.where(nf2 > 0, jnp.sqrt(jnp.maximum(nf2, 0.0)), 1.0)
+
+        # Phase A: dense prefilter stages via strided slices.
+        passed = jnp.ones((ny, nx), dtype=bool)
+        si = 0
+        k = 0
+        while k < pf_end:
+            stage_sum = jnp.zeros((ny, nx), jnp.float32)
+            for s in range(int(soff[si]), int(soff[si + 1])):
+                val = jnp.zeros((ny, nx), jnp.float32)
+                for (x, y, w, h, wt) in rects[sf[s]]:
+                    if wt == 0.0:
+                        continue
+                    val += jnp.float32(wt) * _grid_rect_sum(
+                        integral, int(x), int(y), int(w), int(h), ny, nx, step
+                    )
+                stage_sum += jnp.where(val < st[s] * nf, l0[s], l1[s])
+            passed = passed & (stage_sum >= sthr[si])
+            k = int(soff[si + 1])
+            si += 1
+
+        # Phase B: top-K surviving windows -> patch gather -> one matmul.
+        kk = min(top_k, ny * nx)
+        flat_pass = passed.reshape(-1)
+        _, cand = lax.top_k(flat_pass.astype(jnp.float32), kk)
+        cand_ok = flat_pass[cand]
+        cy = (cand // nx) * step
+        cx = (cand % nx) * step
+        dy = jnp.arange(side)[:, None]
+        dx = jnp.arange(side)[None, :]
+        rows = cy[:, None, None] + dy[None]
+        cols = cx[:, None, None] + dx[None]
+        patches = integral[rows, cols].reshape(kk, side * side)
+        rectsums = jnp.dot(
+            patches, corner, preferred_element_type=jnp.float32
+        )  # (K, S)
+        cand_nf = nf.reshape(-1)[cand]
+        vals = jnp.where(
+            rectsums < st[None, :] * cand_nf[:, None], l0[None, :], l1[None, :]
+        )
+        #
+
+        stage_sums = jax.ops.segment_sum(
+            vals.T, stage_of, num_segments=len(sthr)
+        ).T  # (K, nstages)
+        ok = jnp.all(stage_sums >= sthr[None, :], axis=1) & cand_ok
+        return ok, cx, cy
+
+    return level_fn
+
+
+class HaarDetector:
+    """``detectMultiScale`` with reference parameter semantics."""
+
+    def __init__(
+        self,
+        cascade: Optional[HaarCascade] = None,
+        prefilter_stages: int = 3,
+        top_k: int = 2048,
+    ):
+        self.cascade = cascade or load_cascade()
+        self._level_fn = _make_level_fn(self.cascade, prefilter_stages, top_k)
+
+    def detect_multi_scale(
+        self,
+        gray: np.ndarray,
+        scale_factor: float = 1.1,
+        min_neighbors: int = 5,
+        min_size: Tuple[int, int] = (30, 30),
+        max_size: Optional[Tuple[int, int]] = None,
+    ) -> List[Tuple[int, int, int, int]]:
+        """Faces as (x, y, w, h), grouped like the reference's call
+        (detection-v4.py:50-55)."""
+        h, w = gray.shape
+        wh, ww = self.cascade.window_size
+        raw: List[Tuple[int, int, int, int]] = []
+        factor = 1.0
+        while True:
+            win_w = int(round(ww * factor))
+            win_h = int(round(wh * factor))
+            sw, sh = int(round(w / factor)), int(round(h / factor))
+            if sw - ww <= 0 or sh - wh <= 0:
+                break
+            if max_size and (win_w > max_size[0] or win_h > max_size[1]):
+                break
+            if win_w < min_size[0] or win_h < min_size[1]:
+                factor *= scale_factor
+                continue
+            step = 1 if factor > 2.0 else 2
+            scaled = (
+                np.asarray(gray, dtype=np.float32)
+                if (sw, sh) == (w, h)
+                else np.asarray(
+                    resize_bilinear(jnp.asarray(gray), (sw, sh), jnp.float32)
+                )
+            )
+            ny = (sh - wh) // step + 1
+            nx = (sw - ww) // step + 1
+            ok, cx, cy = self._level_fn(jnp.asarray(scaled), ny, nx, step)
+            ok = np.asarray(ok)
+            cx = np.asarray(cx)
+            cy = np.asarray(cy)
+            for i in np.nonzero(ok)[0]:
+                raw.append(
+                    (
+                        int(round(cx[i] * factor)),
+                        int(round(cy[i] * factor)),
+                        win_w,
+                        win_h,
+                    )
+                )
+            factor *= scale_factor
+        return group_rectangles(raw, min_neighbors, eps=0.2)
+
+
+# ---------------------------------------------------------------------------
+# groupRectangles
+# ---------------------------------------------------------------------------
+
+
+def group_rectangles(
+    rects: Sequence[Tuple[int, int, int, int]],
+    group_threshold: int,
+    eps: float = 0.2,
+) -> List[Tuple[int, int, int, int]]:
+    """OpenCV ``groupRectangles`` semantics: union-find under the
+    SimilarRects predicate, average each cluster, keep clusters with
+    more than ``group_threshold`` members minus the contained-rect
+    rejection pass."""
+    n = len(rects)
+    if n == 0:
+        return []
+    if group_threshold <= 0:
+        return list(rects)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    arr = np.asarray(rects, dtype=np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            delta = eps * 0.5 * (
+                min(arr[i, 2], arr[j, 2]) + min(arr[i, 3], arr[j, 3])
+            )
+            if (
+                abs(arr[i, 0] - arr[j, 0]) <= delta
+                and abs(arr[i, 1] - arr[j, 1]) <= delta
+                and abs(arr[i, 0] + arr[i, 2] - arr[j, 0] - arr[j, 2]) <= delta
+                and abs(arr[i, 1] + arr[i, 3] - arr[j, 1] - arr[j, 3]) <= delta
+            ):
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+
+    clusters: dict = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+
+    merged = []
+    for members in clusters.values():
+        cnt = len(members)
+        if cnt <= group_threshold:
+            continue
+        m = arr[members].mean(axis=0)
+        merged.append(
+            (
+                int(round(m[0])),
+                int(round(m[1])),
+                int(round(m[2])),
+                int(round(m[3])),
+                cnt,
+            )
+        )
+
+    out = []
+    for i, r1 in enumerate(merged):
+        keep = True
+        for j, r2 in enumerate(merged):
+            if i == j:
+                continue
+            dx = int(round(r2[2] * eps))
+            dy = int(round(r2[3] * eps))
+            inside = (
+                r1[0] >= r2[0] - dx
+                and r1[1] >= r2[1] - dy
+                and r1[0] + r1[2] <= r2[0] + r2[2] + dx
+                and r1[1] + r1[3] <= r2[1] + r2[3] + dy
+            )
+            if inside and (r2[4] > max(3, r1[4]) or r1[4] < 3):
+                keep = False
+                break
+        if keep:
+            out.append((r1[0], r1[1], r1[2], r1[3]))
+    return out
