@@ -1,0 +1,161 @@
+"""``fdrp`` command line: detect / train / scan / pipeline / bench.
+
+Mirrors the reference CLIs (``--video``, ``--person``, ``--live`` of
+``run_pipeline.py:156-182`` and the per-stage scripts) as subcommands of
+one binary, with every hard-coded reference constant exposed through
+``--config`` (JSON of :class:`..config.PipelineConfig`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from face_detection_recognization_pca_tpu.config import PipelineConfig
+
+
+def _load_config(path) -> PipelineConfig:
+    if not path:
+        return PipelineConfig()
+    with open(path) as f:
+        return PipelineConfig.from_json(f.read())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="fdrp",
+        description="TPU-native eigenfaces face detection + recognition",
+    )
+    p.add_argument("--config", help="PipelineConfig JSON file")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="video -> face crops + detection JSON")
+    d.add_argument("--video", required=True)
+    d.add_argument("--person", required=True)
+    d.add_argument("--output-root", default=None)
+    d.add_argument("--max-frames", type=int, default=None)
+
+    t = sub.add_parser("train", help="crops -> PCA model artifacts")
+    t.add_argument("--person", help="single person (train-v4 mode)")
+    t.add_argument("--all", action="store_true", help="all persons (train-v5 mode)")
+    t.add_argument("--lock-dir", default=None)
+
+    s = sub.add_parser("scan", help="recognize faces in video/live stream")
+    s.add_argument("--video", help="video path (guided mode with --person)")
+    s.add_argument("--person", help="guided scan against this person's model")
+    s.add_argument("--live", action="store_true", help="webcam multi-model scan")
+    s.add_argument("--multi", action="store_true", help="multi-model scan on --video")
+    s.add_argument("--output", default=None)
+    s.add_argument("--lock-dir", default=None)
+    s.add_argument("--max-frames", type=int, default=None)
+
+    r = sub.add_parser("pipeline", help="detect -> train -> recognize")
+    r.add_argument("--video")
+    r.add_argument("--person", required=True)
+    r.add_argument("--live", action="store_true")
+    r.add_argument("--max-frames", type=int, default=None)
+    r.add_argument("--no-scan", action="store_true")
+
+    b = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    b.add_argument("--streams", type=int, default=8)
+    b.add_argument("--frames", type=int, default=64)
+    b.add_argument("--size", default="1080p", choices=["1080p", "720p", "544p"])
+
+    args = p.parse_args(argv)
+    cfg = _load_config(args.config)
+
+    if args.cmd == "detect":
+        from face_detection_recognization_pca_tpu.pipeline.detect_app import (
+            detect_video,
+        )
+
+        det = detect_video(
+            args.video,
+            args.person,
+            output_root=args.output_root,
+            config=cfg,
+            max_frames=args.max_frames,
+        )
+        print(json.dumps({"faces": det.total_faces_detected, "frames": det.total_frames}))
+        return 0
+
+    if args.cmd == "train":
+        from face_detection_recognization_pca_tpu.pipeline.train_app import (
+            train_all_persons,
+            train_single_person,
+        )
+
+        if args.all:
+            arts = train_all_persons(args.lock_dir, cfg)
+            print(json.dumps({k: a.n_components for k, a in arts.items()}))
+        elif args.person:
+            art = train_single_person(args.person, args.lock_dir, cfg)
+            print(
+                json.dumps(
+                    {
+                        "person": args.person,
+                        "n_components": art.n_components,
+                        "n_faces": int(art.features.shape[0]),
+                    }
+                )
+            )
+        else:
+            p.error("train needs --person or --all")
+        return 0
+
+    if args.cmd == "scan":
+        from face_detection_recognization_pca_tpu.pipeline.scan_app import (
+            scan_multimodel,
+            scan_video_guided,
+        )
+
+        if args.live:
+            results = scan_multimodel(
+                0, args.lock_dir, args.output, cfg, args.max_frames
+            )
+        elif args.multi:
+            results = scan_multimodel(
+                args.video, args.lock_dir, args.output, cfg, args.max_frames
+            )
+        elif args.video and args.person:
+            results = scan_video_guided(
+                args.video,
+                args.person,
+                args.lock_dir,
+                args.output,
+                cfg,
+                args.max_frames,
+            )
+        else:
+            p.error("scan needs --live, or --video with --person/--multi")
+        print(json.dumps({"recognitions": len(results)}))
+        return 0
+
+    if args.cmd == "pipeline":
+        from face_detection_recognization_pca_tpu.pipeline.run_pipeline import (
+            run_pipeline,
+        )
+
+        out = run_pipeline(
+            args.person,
+            video_path=args.video,
+            live=args.live,
+            config=cfg,
+            max_frames=args.max_frames,
+            scan=not args.no_scan,
+        )
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "bench":
+        from face_detection_recognization_pca_tpu.bench import run_bench
+
+        print(json.dumps(run_bench(args.streams, args.frames, args.size)))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,275 @@
+"""Recognition stage: guided video scanner + multi-model live scanner.
+
+Two reference entry points reproduced:
+
+* **video mode** (``scripts/manual|auto/scan-template-v2.py``): the
+  training video's detection JSON is a position prior; per frame the
+  guided matcher searches a 1.5x window around each nearby prior, the
+  best hit is cropped, projected, cosine-matched (threshold 0.7), the
+  frame annotated, and per-frame records accumulated into
+  ``recognition_results.json`` next to ``recognition_output.mp4``
+  (schema of ``scan-template-v2.py:536-598``).
+
+* **live mode** (``scan-template-v4.py``): every person model's
+  templates detect by full-frame multi-scale NCC, multi-face
+  arbitration picks one detection (0.5 size + 0.5 PCA), PCA verifies
+  across all models, names fuse per the v4 rules.  ``--live`` uses the
+  webcam; any video path exercises the same logic offline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+from face_detection_recognization_pca_tpu.config import PipelineConfig
+from face_detection_recognization_pca_tpu.detect.guided import GuidedMatcher
+from face_detection_recognization_pca_tpu.detect.template import (
+    TemplateBank,
+    TemplateDetector,
+)
+from face_detection_recognization_pca_tpu.io.artifacts import load_model
+from face_detection_recognization_pca_tpu.io.detection_json import (
+    read_detection_json,
+    reference_positions,
+)
+from face_detection_recognization_pca_tpu.io.video import VideoReader, VideoWriter
+from face_detection_recognization_pca_tpu.models import eigenfaces as ef
+from face_detection_recognization_pca_tpu.ops.similarity import cosine_gallery
+from face_detection_recognization_pca_tpu.recognize.engine import (
+    ModelStack,
+    MultiModelRecognizer,
+)
+from face_detection_recognization_pca_tpu.recognize.fusion import (
+    UNKNOWN,
+    arbitration_score,
+    fuse_template_pca,
+)
+from face_detection_recognization_pca_tpu.utils import annotate
+from face_detection_recognization_pca_tpu.utils.logging import Counters, get_logger
+
+log = get_logger("fdrp.scan")
+
+
+def scan_video_guided(
+    video_path: str,
+    person_name: str,
+    lock_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+) -> List[dict]:
+    """Guided video recognition (scan-template-v2 video mode)."""
+    import cv2
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    person_dir = os.path.join(lock, person_name)
+    art = load_model(os.path.join(person_dir, "face_model.pkl"))
+    model = ef.from_artifact(art, dtype=np.float32)
+    det_json = read_detection_json(
+        os.path.join(person_dir, f"{person_name}_faces_detection.json")
+    )
+    # Template = first training crop (scan-template-v2.py:115-119).
+    first = next((r for r in det_json.faces if r.image_path), None)
+    tpath = first.image_path if first else None
+    if tpath and not os.path.exists(tpath):
+        tpath = os.path.join(
+            person_dir, os.path.basename(str(tpath).replace("\\", "/"))
+        )
+    template = cv2.imread(tpath, cv2.IMREAD_GRAYSCALE) if tpath else None
+    if template is None:
+        raise ValueError(f"no usable template crop for {person_name}")
+    matcher = GuidedMatcher(template, cfg.detect.search_scale_video)
+
+    reader = VideoReader(video_path)
+    meta = reader.meta
+    output_path = output_path or "recognition_output.mp4"
+    writer = VideoWriter(output_path, (meta.width, meta.height), meta.fps)
+    results: List[dict] = []
+    counters = Counters()
+    frame_no = 0
+    names_by_id = art.names_by_id
+
+    for frame in reader.frames():
+        if max_frames is not None and frame_no >= max_frames:
+            break
+        counters.inc("frames")
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        priors = reference_positions(
+            det_json, frame_no, cfg.detect.frame_tolerance
+        )
+        hit = matcher.match_frame(gray, priors, frame_no) if priors else None
+        if hit is not None:
+            counters.inc("frames_with_detection")
+            x, y, w, h = hit["x"], hit["y"], hit["width"], hit["height"]
+            crop = frame[y : y + h, x : x + w]
+            pid, conf = -1, 0.0
+            if crop.size:
+                ids, confs = ef.recognize(
+                    model,
+                    crop[None],
+                    threshold=cfg.recognize.cosine_threshold,
+                )
+                pid, conf = int(ids[0]), float(confs[0])
+            name = names_by_id.get(pid, UNKNOWN) if pid >= 0 else UNKNOWN
+            if name != UNKNOWN:
+                counters.inc("frames_recognized")
+            results.append(
+                {
+                    "frame_number": int(frame_no),
+                    "timestamp": float(frame_no / meta.fps if meta.fps else 0),
+                    "x": int(x),
+                    "y": int(y),
+                    "width": int(w),
+                    "height": int(h),
+                    "person_id": int(pid),
+                    "person_name": str(name),
+                    "confidence": float(conf),
+                    "template_match_confidence": float(hit["confidence"]),
+                    "ref_frame_diff": 0,
+                }
+            )
+            annotate.draw_guided(frame, (x, y, w, h), name, conf)
+        writer.write(frame)
+        frame_no += 1
+        if frame_no % 100 == 0:
+            log.info("progress %d/%d frames", frame_no, meta.frame_count)
+
+    reader.close()
+    writer.close()
+    results_path = (
+        output_path.replace("recognition_output.mp4", "recognition_results.json")
+        if output_path.endswith("recognition_output.mp4")
+        else os.path.splitext(output_path)[0] + "_results.json"
+    )
+    with open(results_path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "video_path": video_path,
+                "total_frames": meta.frame_count,
+                "fps": meta.fps,
+                "total_recognitions": len(results),
+                "processing_date": datetime.now().isoformat(),
+                "results": results,
+            },
+            f,
+            indent=2,
+            ensure_ascii=False,
+        )
+    log.info("\n%s", counters.recognition_summary())
+    return results
+
+
+def scan_multimodel(
+    source,
+    lock_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+    fused_detector: bool = True,
+) -> List[dict]:
+    """Multi-model scanning (scan-template-v4 semantics).
+
+    ``source``: video path, or an int camera index for live mode.
+    """
+    import cv2
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    stack = ModelStack.from_lock_dir(lock)
+    recognizer = MultiModelRecognizer(stack, cfg.recognize)
+    bank = TemplateBank.from_person_dirs(
+        lock, per_person=cfg.detect.templates_per_person
+    )
+    detector = TemplateDetector(bank, cfg.detect)
+    detect = detector.detect_fused if fused_detector else detector.detect_parity
+
+    if isinstance(source, int):
+        cap = cv2.VideoCapture(source)
+        if not cap.isOpened():
+            raise IOError(f"cannot open camera {source}")
+        meta_fps, meta_w, meta_h = 30.0, int(cap.get(3)), int(cap.get(4))
+        frame_iter = iter(lambda: cap.read()[1] if cap.isOpened() else None, None)
+        closer = cap.release
+    else:
+        reader = VideoReader(source)
+        meta_fps = reader.meta.fps
+        meta_w, meta_h = reader.meta.width, reader.meta.height
+        frame_iter = reader.frames()
+        closer = reader.close
+
+    writer = (
+        VideoWriter(output_path, (meta_w, meta_h), meta_fps)
+        if output_path
+        else None
+    )
+    results: List[dict] = []
+    frame_no = 0
+    for frame in frame_iter:
+        if frame is None or (max_frames is not None and frame_no >= max_frames):
+            break
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        detections = detect(gray)
+
+        # Multi-face arbitration (scan-template-v4.py:352-377).
+        pca_cache = {}
+        if len(detections) > 1:
+            best_sc, best_det = -1.0, None
+            for d in detections:
+                crop = frame[d.y : d.y + d.height, d.x : d.x + d.width]
+                pid, pname, pconf = (
+                    recognizer.recognize_one(crop, cfg.recognize.pca_gate)
+                    if crop.size
+                    else (-1, UNKNOWN, 0.0)
+                )
+                pca_cache[id(d)] = (pid, pname, pconf)
+                sc = arbitration_score(d.width, d.height, pconf, cfg.recognize)
+                if sc > best_sc:
+                    best_sc, best_det = sc, d
+            detections = [best_det] if best_det else []
+
+        for d in detections:
+            if id(d) in pca_cache:
+                pid, pname, pconf = pca_cache[id(d)]
+            else:
+                crop = frame[d.y : d.y + d.height, d.x : d.x + d.width]
+                pid, pname, pconf = (
+                    recognizer.recognize_one(crop, cfg.recognize.pca_gate)
+                    if crop.size
+                    else (-1, UNKNOWN, 0.0)
+                )
+            final_name, final_conf = fuse_template_pca(
+                d.person_name, d.confidence, pname, pconf, cfg.recognize
+            )
+            annotate.draw_v4(
+                frame,
+                (d.x, d.y, d.width, d.height),
+                final_name,
+                d.confidence,
+                pconf,
+            )
+            results.append(
+                {
+                    "frame_number": frame_no,
+                    "person_name": final_name,
+                    "template_confidence": float(d.confidence),
+                    "pca_confidence": float(pconf),
+                    "final_confidence": float(final_conf),
+                    "x": d.x,
+                    "y": d.y,
+                    "width": d.width,
+                    "height": d.height,
+                }
+            )
+        if writer:
+            writer.write(frame)
+        frame_no += 1
+    closer()
+    if writer:
+        writer.close()
+    return results
