@@ -1,0 +1,221 @@
+"""Throughput benchmark: fused multi-stream detect+recognize on device.
+
+Measures BASELINE.json config 5 -- batched multi-stream 1080p
+recognition: per stream, a guided NCC detection (TM_CCOEFF_NORMED of a
+96x96 template inside a 192x192 search window, the guided-scanner
+geometry) followed by the fused linearized projection-and-match against
+a reference-sized gallery.  Everything runs in ONE jitted program over
+the stream batch; frames are pre-staged in HBM so the number reports
+device compute throughput (host mp4 decode is benchmarked separately by
+the pipeline and is hardware-independent of the TPU design).
+
+Output: recognized frames/sec/chip, vs the 5,000 fps north-star target
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SIZES = {"1080p": (1080, 1920), "720p": (720, 1280), "544p": (544, 960)}
+
+WIN = 192  # search window side (guided scanner: 1.5-2x face box)
+TPL = 96  # template / face box side
+
+
+def _synth_assets(streams: int, size: Tuple[int, int], gallery_n: int = 256,
+                  k: int = 64, seed: int = 0):
+    """Synthetic frames with a real planted pattern + a trained model."""
+    from face_detection_recognization_pca_tpu.linalg.pca import snapshot_pca
+    from face_detection_recognization_pca_tpu.models.eigenfaces import (
+        EigenfacesModel,
+    )
+    from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
+        linearize_model,
+    )
+
+    h, w = size
+    rng = np.random.default_rng(seed)
+    # A structured "face" pattern (smooth blobs) planted per stream.
+    yy, xx = np.mgrid[0:TPL, 0:TPL].astype(np.float32) / TPL
+    face = (
+        140
+        + 60 * np.sin(6.28 * yy * 2.1)
+        + 40 * np.cos(6.28 * xx * 1.7)
+        + rng.normal(0, 8, (TPL, TPL))
+    ).astype(np.float32)
+    t_frames = 8  # frame batches scanned per dispatch
+    frames = rng.normal(110, 25, (t_frames, streams, h, w)).astype(np.float32)
+    # Plant at per-(frame, stream) offsets inside the search window.
+    win_x = (w - WIN) // 2
+    win_y = (h - WIN) // 2
+    for t in range(t_frames):
+        for s in range(streams):
+            oy, ox = rng.integers(0, WIN - TPL, 2)
+            frames[
+                t,
+                s,
+                win_y + oy : win_y + oy + TPL,
+                win_x + ox : win_x + ox + TPL,
+            ] = face
+
+    # Train a snapshot model on jittered copies of the pattern (gallery).
+    gal_imgs = np.stack(
+        [
+            np.roll(face, (rng.integers(-2, 3), rng.integers(-2, 3)), (0, 1)).reshape(-1)
+            + rng.normal(0, 4, TPL * TPL)
+            for _ in range(gallery_n)
+        ]
+    ).astype(np.float32)
+    res = snapshot_pca(jnp.asarray(gal_imgs), k)
+    model = EigenfacesModel(
+        components=res.components,
+        projection_mean=res.mean,
+        mean_face=res.mean,
+        gallery=res.projected,
+        labels=jnp.zeros(gallery_n, jnp.int32),
+        scaler_mean=None,
+        scaler_scale=None,
+        face_shape=(TPL, TPL),
+        schema="v1",
+    )
+    lin = linearize_model(model, (TPL, TPL))
+    return jnp.asarray(frames), (win_y, win_x), lin, jnp.asarray(face)
+
+
+def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
+              win_y: int, win_x: int):
+    """One fused detect+recognize step over all streams.
+
+    ``windows``: (S, WIN, WIN) guided search windows already sliced from
+    the frame batch (the slice itself is done once for the whole scan --
+    only ~2 MB/step of the 1080p frames is ever touched, like a real
+    guided scanner)."""
+    s = windows.shape[0]
+
+    # Batched NCC: windows (S,1,WIN,WIN) conv template (1,1,TPL,TPL).
+    num = jax.lax.conv_general_dilated(
+        windows[:, None],
+        template0[None, None],
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    ii = jnp.cumsum(jnp.cumsum(windows, axis=1), axis=2)
+    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0)))
+    ii2 = jnp.cumsum(jnp.cumsum(windows * windows, axis=1), axis=2)
+    ii2 = jnp.pad(ii2, ((0, 0), (1, 0), (1, 0)))
+
+    def wsum(i):
+        return (
+            i[:, TPL:, TPL:] - i[:, TPL:, :-TPL] - i[:, :-TPL, TPL:] + i[:, :-TPL, :-TPL]
+        )
+
+    n = TPL * TPL
+    s1 = wsum(ii)
+    s2 = wsum(ii2)
+    var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)
+    denom = jnp.sqrt(t_energy * var_n)
+    scores = jnp.where(denom > 1e-6, num / jnp.where(denom > 1e-6, denom, 1.0), 0.0)
+    flat = scores.reshape(s, -1)
+    loc = jnp.argmax(flat, axis=1)
+    tm_conf = jnp.take_along_axis(flat, loc[:, None], 1)[:, 0]
+    ow = scores.shape[-1]
+    ly, lx = loc // ow, loc % ow
+
+    # Crop the matched box per stream and run the fused matcher.
+    def crop_one(win, y, x):
+        return jax.lax.dynamic_slice(win, (y, x), (TPL, TPL))
+
+    crops = jax.vmap(crop_one)(windows, ly, lx)
+    feats = (
+        jnp.dot(crops.reshape(s, -1), m, preferred_element_type=jnp.float32)
+        + bias
+    )
+    dots = jnp.dot(feats, gallery_t, preferred_element_type=jnp.float32)
+    fn = jnp.linalg.norm(feats, axis=1, keepdims=True)
+    dn = fn * gnorm[None, :]
+    cos = jnp.where(dn > 0, dots / jnp.where(dn > 0, dn, 1.0), 0.0)
+    ids = jnp.argmax(cos, axis=1)
+    conf = jnp.max(cos, axis=1)
+    return ids, conf, tm_conf, lx + win_x, ly + win_y
+
+
+@functools.partial(jax.jit, static_argnames=("win_y", "win_x"))
+def _bench_scan(frames_t, template0, t_energy, m, bias, gallery_t, gnorm,
+                win_y: int, win_x: int):
+    """Scan the fused step over a time axis of frame batches -- one
+    dispatch processes T x S frames (amortizes host->device latency the
+    way a streaming video pipeline does)."""
+
+    # Slice every step's search windows up front: one (T, S, WIN, WIN)
+    # gather instead of touching the full 1080p planes inside the loop.
+    windows_t = jax.lax.dynamic_slice(
+        frames_t,
+        (0, 0, win_y, win_x),
+        (frames_t.shape[0], frames_t.shape[1], WIN, WIN),
+    )
+
+    def body(carry, windows):
+        out = _step_one(
+            windows, template0, t_energy, m, bias, gallery_t, gnorm,
+            win_y=win_y, win_x=win_x,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, windows_t)
+    return outs
+
+
+def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
+              iters: int = 20, warmup: int = 3) -> dict:
+    hw = SIZES[size]
+    frames, (win_y, win_x), lin, face = _synth_assets(streams, hw)
+    t_frames = frames.shape[0]
+    template0 = face - jnp.mean(face)
+    t_energy = jnp.sum(template0 * template0)
+
+    args = (
+        frames,
+        template0,
+        t_energy,
+        lin.m,
+        lin.bias,
+        lin.gallery_t,
+        lin.gallery_norm,
+    )
+    out = _bench_scan(*args, win_y=win_y, win_x=win_x)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = _bench_scan(*args, win_y=win_y, win_x=win_x)
+    jax.block_until_ready(out)
+
+    t0_ = time.perf_counter()
+    for _ in range(iters):
+        out = _bench_scan(*args, win_y=win_y, win_x=win_x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0_) / iters
+    fps = t_frames * streams / dt
+
+    ids, conf, tm_conf, lx, ly = (np.asarray(a).reshape(-1) for a in out)
+    return {
+        "metric": f"recognized {size} frames/sec/chip (fused guided detect+project+match, {streams} streams)",
+        "value": round(float(fps), 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(float(fps) / 5000.0, 3),
+        "detail": {
+            "streams": streams,
+            "frames_per_dispatch": t_frames * streams,
+            "step_ms": round(dt * 1e3, 3),
+            "min_pca_conf": round(float(conf.min()), 4),
+            "min_tm_conf": round(float(tm_conf.min()), 4),
+            "device": str(jax.devices()[0]),
+        },
+    }

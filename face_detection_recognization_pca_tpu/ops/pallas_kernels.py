@@ -1,0 +1,259 @@
+"""Pallas TPU kernels: the fused projection-and-match hot path.
+
+**Algebraic fusion.**  Every step of the recognition preprocess is
+linear: bilinear resize (two interpolation matmuls), flatten,
+standardize (affine), eigenspace projection (matmul).  Their
+composition therefore collapses into a single affine map
+
+    feats = crop_flat @ M + bias
+    M[h*cw + w, k] = sum_{y,x} Wy[y,h] * WxT[w,x] * sinv[yx] * C[k, yx]
+    bias[k]        = -(smean * sinv + pmean) @ C[k]
+
+precomputed once per (model, crop shape) on host.  The per-crop work
+becomes ONE (B, ch*cw) x (ch*cw, k) matmul -- ideal MXU shape -- instead
+of per-crop resize loops; numerically identical to the float chain.
+
+The Pallas kernel then fuses the remaining pipeline in VMEM:
+K-tiled matmul accumulation, bias, L2 normalization, gallery cosine
+``(B, k) @ (k, N)``, and first-occurrence argmax -- one HBM read per
+crop tile, one (ids, conf) write, no intermediate feature round-trip.
+
+``linearized_params``/``recognize_linearized`` expose the same math as
+a plain XLA path (used as fallback and for correctness diffing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class LinearizedModel(NamedTuple):
+    """Preprocess+project collapsed to ``crops_flat @ m + bias``."""
+
+    m: jnp.ndarray  # (ch * cw, k)
+    bias: jnp.ndarray  # (k,)
+    gallery_t: jnp.ndarray  # (k, N)
+    gallery_norm: jnp.ndarray  # (N,)
+    labels: jnp.ndarray  # (N,)
+    crop_shape: Tuple[int, int]
+
+
+def linearize_model(model, crop_shape: Tuple[int, int]) -> LinearizedModel:
+    """Fold resize/scaler/projection of an EigenfacesModel into (M, bias).
+
+    ``crop_shape``: static (ch, cw) of incoming grayscale crops.
+    """
+    from face_detection_recognization_pca_tpu.ops.resize import (
+        _interp_matrix,
+    )
+
+    fh, fw = model.face_shape
+    ch, cw = crop_shape
+    wy = np.asarray(_interp_matrix(ch, fh, np.float32))  # (fh, ch)
+    wx = np.asarray(_interp_matrix(cw, fw, np.float32))  # (fw, cw)
+    comps = np.asarray(model.components, np.float32)  # (k, d)
+    k = comps.shape[0]
+    c = comps.reshape(k, fh, fw)
+    sinv = (
+        1.0 / np.asarray(model.scaler_scale, np.float32)
+        if model.scaler_scale is not None
+        else np.ones(fh * fw, np.float32)
+    ).reshape(fh, fw)
+    smean = (
+        np.asarray(model.scaler_mean, np.float32)
+        if model.scaler_mean is not None
+        else np.zeros(fh * fw, np.float32)
+    )
+    pmean = np.asarray(model.projection_mean, np.float32)
+
+    c2 = c * sinv[None]  # (k, fh, fw)
+    # M[h, w, k] = sum_{y,x} Wy[y,h] WxT[w,x] c2[k,y,x]
+    m = np.einsum("yh,kyx,xw->hwk", wy, c2, wx, optimize=True)
+    m = m.reshape(ch * cw, k).astype(np.float32)
+    sflat = smean * sinv.reshape(-1)
+    bias = -(sflat + pmean) @ comps.T  # (k,)
+
+    gallery = np.asarray(model.gallery, np.float32)
+    return LinearizedModel(
+        m=jnp.asarray(m),
+        bias=jnp.asarray(bias.astype(np.float32)),
+        gallery_t=jnp.asarray(gallery.T),
+        gallery_norm=jnp.asarray(np.linalg.norm(gallery, axis=1)),
+        labels=jnp.asarray(np.asarray(model.labels), jnp.int32),
+        crop_shape=(ch, cw),
+    )
+
+
+def recognize_linearized(
+    lin: LinearizedModel, crops: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain-XLA fused path over the linearized model (fallback/oracle)."""
+    b = crops.shape[0]
+    flat = crops.reshape(b, -1).astype(jnp.float32)
+    feats = jnp.dot(flat, lin.m, preferred_element_type=jnp.float32) + lin.bias
+    dots = jnp.dot(feats, lin.gallery_t, preferred_element_type=jnp.float32)
+    fn = jnp.linalg.norm(feats, axis=1, keepdims=True)
+    denom = fn * lin.gallery_norm[None, :]
+    safe = denom > 0
+    cos = jnp.where(safe, dots / jnp.where(safe, denom, 1.0), 0.0)
+    return jnp.argmax(cos, axis=1).astype(jnp.int32), jnp.max(cos, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _match_kernel(
+    crops_ref,  # (TB, DK) block of flattened crops
+    m_ref,  # (DK, k) block of the fused matrix
+    bias_ref,  # (1, k)
+    gallery_t_ref,  # (k, N)
+    gnorm_ref,  # (1, N)
+    ids_ref,  # (TB, 1) i32
+    conf_ref,  # (TB, 1) f32
+    acc_ref,  # scratch (TB, k) f32
+):
+    kstep = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(kstep == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        crops_ref[:], m_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kstep == nk - 1)
+    def _():
+        feats = acc_ref[:] + bias_ref[0][None, :]
+        dots = jnp.dot(
+            feats, gallery_t_ref[:], preferred_element_type=jnp.float32
+        )
+        fnorm = jnp.sqrt(jnp.sum(feats * feats, axis=1, keepdims=True))
+        denom = fnorm * gnorm_ref[0][None, :]
+        safe = denom > 0.0
+        cos = jnp.where(safe, dots / jnp.where(safe, denom, 1.0), 0.0)
+        ids_ref[:, 0] = jnp.argmax(cos, axis=1).astype(jnp.int32)
+        conf_ref[:, 0] = jnp.max(cos, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "tile_d", "interpret")
+)
+def fused_match_pallas(
+    crops_flat: jnp.ndarray,  # (B, D)
+    m: jnp.ndarray,  # (D, k)
+    bias: jnp.ndarray,  # (k,)
+    gallery_t: jnp.ndarray,  # (k, N)
+    gallery_norm: jnp.ndarray,  # (N,)
+    tile_b: int = 128,
+    tile_d: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K-tiled fused matmul -> cosine -> argmax kernel.
+
+    ``B % tile_b == 0`` and ``D % tile_d == 0`` (pad crops with zeros and
+    M with zero rows -- zero rows contribute nothing).
+    """
+    b, dd = crops_flat.shape
+    k = m.shape[1]
+    n = gallery_t.shape[1]
+    assert b % tile_b == 0 and dd % tile_d == 0
+
+    grid = (b // tile_b, dd // tile_d)
+    ids, conf = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, tile_d), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_d, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, k), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * dd * k + 2 * b * k * n,
+            bytes_accessed=4 * (b * dd + dd * k + k * n),
+            transcendentals=0,
+        ),
+    )(
+        crops_flat.astype(jnp.float32),
+        m.astype(jnp.float32),
+        bias.reshape(1, -1).astype(jnp.float32),
+        gallery_t.astype(jnp.float32),
+        gallery_norm.reshape(1, -1).astype(jnp.float32),
+    )
+    return ids[:, 0], conf[:, 0]
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def make_fused_recognizer(
+    model,
+    crop_shape: Tuple[int, int],
+    tile_b: int = 128,
+    interpret: bool = False,
+):
+    """Bind a model + crop shape to the Pallas kernel.
+
+    Returns ``fn(crops (B, ch, cw)) -> (gallery_rows, cosine)``; B is
+    padded internally to the batch tile.
+    """
+    lin = linearize_model(model, crop_shape)
+    dd = lin.m.shape[0]
+    tile_d = 2048 if dd % 2048 == 0 else next(
+        t for t in (1024, 512, 256, 128) if dd % t == 0
+    ) if any(dd % t == 0 for t in (1024, 512, 256, 128)) else None
+    if tile_d is None:
+        dpad = _round_up(dd, 1024)
+        m = jnp.zeros((dpad, lin.m.shape[1]), jnp.float32).at[:dd].set(lin.m)
+        tile_d = 1024
+    else:
+        dpad, m = dd, lin.m
+
+    def fn(crops):
+        b = crops.shape[0]
+        flat = crops.reshape(b, -1).astype(jnp.float32)
+        if dpad != dd:
+            flat = jnp.pad(flat, ((0, 0), (0, dpad - dd)))
+        bpad = _round_up(b, tile_b)
+        if bpad != b:
+            flat = jnp.pad(flat, ((0, bpad - b), (0, 0)))
+        ids, conf = fused_match_pallas(
+            flat,
+            m,
+            lin.bias,
+            lin.gallery_t,
+            lin.gallery_norm,
+            tile_b=tile_b,
+            tile_d=tile_d,
+            interpret=interpret,
+        )
+        return ids[:b], conf[:b]
+
+    return fn, lin
