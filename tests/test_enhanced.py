@@ -1,0 +1,128 @@
+"""Enhanced ensemble: feature ops parity with cv2, train/recognize flow."""
+
+import cv2
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from face_detection_recognization_pca_tpu.models.enhanced import (
+    AUGMENTATION_FACTOR,
+    extract_branch_features,
+    load_enhanced,
+    recognize_enhanced,
+    save_enhanced,
+    train_enhanced,
+)
+from face_detection_recognization_pca_tpu.ops.features import (
+    augment_face,
+    convert_scale_abs,
+    equalize_hist_u8,
+    gaussian_blur3_u8,
+    hog_features,
+    lbp_uniform_hist,
+    rotate_u8,
+)
+
+
+def test_equalize_hist_matches_cv2(rng):
+    img = rng.integers(0, 200, (60, 80), dtype=np.uint8)
+    ours = np.asarray(equalize_hist_u8(img))
+    ref = cv2.equalizeHist(img)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_convert_scale_abs_matches_cv2(rng):
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    for a, b in [(1.2, 10.0), (0.8, -10.0)]:
+        ours = np.asarray(convert_scale_abs(img, a, b))
+        ref = cv2.convertScaleAbs(img, alpha=a, beta=b)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_gaussian_blur_matches_cv2(rng):
+    img = rng.integers(0, 256, (50, 50), dtype=np.uint8)
+    ours = np.asarray(gaussian_blur3_u8(img))
+    ref = cv2.GaussianBlur(img, (3, 3), 0)
+    # Interior parity (borders differ by reflect convention <= 1 LSB).
+    assert np.abs(
+        ours[1:-1, 1:-1].astype(int) - ref[1:-1, 1:-1].astype(int)
+    ).max() <= 1
+
+
+def test_rotation_close_to_cv2(rng):
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    img = cv2.GaussianBlur(img, (5, 5), 2)  # smooth -> interp error small
+    for ang in (-5.0, 5.0):
+        ours = np.asarray(rotate_u8(img, ang)).astype(int)
+        M = cv2.getRotationMatrix2D((32, 32), ang, 1.0)
+        ref = cv2.warpAffine(img, M, (64, 64)).astype(int)
+        inner = (slice(8, -8), slice(8, -8))
+        assert np.abs(ours[inner] - ref[inner]).mean() < 2.0
+
+
+def test_hog_shape_and_invariances(rng):
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    f = np.asarray(hog_features(img))
+    assert f.shape == (7 * 7 * 2 * 2 * 9,)  # 1764, skimage-compatible
+    # L2-Hys: nonnegative, bounded by 1 (clip at 0.2 then renormalize).
+    assert np.all(f >= 0) and np.all(f <= 1.0 + 1e-6)
+    # Constant image -> zero gradients -> zero descriptor.
+    z = np.asarray(hog_features(np.full((64, 64), 100, np.uint8)))
+    assert np.abs(z).max() < 1e-6
+
+
+def test_lbp_hist_properties(rng):
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    h = np.asarray(lbp_uniform_hist(img))
+    assert h.shape == (26,)
+    np.testing.assert_allclose(h.sum(), 1.0, rtol=1e-5)
+    # Flat image: every neighbor == center -> all-ones pattern (bin 24).
+    flat = np.asarray(lbp_uniform_hist(np.full((32, 32), 50, np.uint8)))
+    assert flat.argmax() == 24
+
+
+def test_augment_face_produces_reference_set(rng):
+    img = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    aug = np.asarray(augment_face(img))
+    assert aug.shape == (1 + AUGMENTATION_FACTOR, 48, 48)
+    np.testing.assert_array_equal(aug[0], img)
+    np.testing.assert_array_equal(aug[1], img[:, ::-1])
+
+
+@pytest.fixture(scope="module")
+def real_crops(reference_root):
+    paths = sorted(
+        glob.glob(
+            os.path.join(reference_root, "faces/lock_version/Joseph_Lai/face_*.jpg")
+        )
+    )[:6] + sorted(
+        glob.glob(
+            os.path.join(reference_root, "faces/lock_version/shun/face_*.jpg")
+        )
+    )[:6]
+    if len(paths) < 12:
+        pytest.skip("need crops from two persons")
+    return [cv2.imread(p, cv2.IMREAD_GRAYSCALE) for p in paths]
+
+
+def test_enhanced_train_recognize_roundtrip(tmp_path, real_crops):
+    labels = [0] * 6 + [1] * 6
+    pid_map = {"Joseph_Lai": 0, "shun": 1}
+    model = train_enhanced(
+        real_crops, labels, pid_map, n_components=20, augment=False
+    )
+    # Training crops recognize as themselves.
+    pid, name, conf = recognize_enhanced(model, real_crops[0])
+    assert (pid, name) == (0, "Joseph_Lai")
+    assert conf > 0.9
+    pid2, name2, conf2 = recognize_enhanced(model, real_crops[7])
+    assert (pid2, name2) == (1, "shun")
+    # Pickle roundtrip with the reference schema.
+    p = str(tmp_path / "enhanced_model.pkl")
+    save_enhanced(model, p)
+    back = load_enhanced(p)
+    pid3, name3, conf3 = recognize_enhanced(back, real_crops[0])
+    assert (pid3, name3) == (0, "Joseph_Lai")
+    assert abs(conf3 - conf) < 1e-9
