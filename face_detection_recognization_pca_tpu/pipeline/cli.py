@@ -40,12 +40,35 @@ def main(argv=None) -> int:
     t.add_argument("--person", help="single person (train-v4 mode)")
     t.add_argument("--all", action="store_true", help="all persons (train-v5 mode)")
     t.add_argument("--lock-dir", default=None)
+    t.add_argument(
+        "--v1",
+        action="store_true",
+        help="v1 snapshot training of dark+light models from faces/{Dark,Light}_version",
+    )
+    t.add_argument("--base-dir", default="faces", help="v1: base faces dir")
+    t.add_argument("--model-dir", default="models", help="v1: model output dir")
+    t.add_argument(
+        "--enhanced",
+        action="store_true",
+        help="multi-feature ensemble model (HOG/LBP/multi-scale + augmentation)",
+    )
 
     s = sub.add_parser("scan", help="recognize faces in video/live stream")
     s.add_argument("--video", help="video path (guided mode with --person)")
     s.add_argument("--person", help="guided scan against this person's model")
     s.add_argument("--live", action="store_true", help="webcam multi-model scan")
     s.add_argument("--multi", action="store_true", help="multi-model scan on --video")
+    s.add_argument(
+        "--haar-multi",
+        action="store_true",
+        help="Haar detection + all-model verification (v3 mode)",
+    )
+    s.add_argument(
+        "--dual",
+        nargs="+",
+        metavar="MODEL_PKL",
+        help="v1 dual dark/light scan with these model pickles",
+    )
     s.add_argument("--output", default=None)
     s.add_argument("--lock-dir", default=None)
     s.add_argument("--max-frames", type=int, default=None)
@@ -86,7 +109,51 @@ def main(argv=None) -> int:
             train_single_person,
         )
 
-        if args.all:
+        if args.v1:
+            from face_detection_recognization_pca_tpu.pipeline.v1_apps import (
+                train_v1_versions,
+            )
+
+            paths = train_v1_versions(
+                args.person or "Joseph_Lai",
+                base_faces_dir=args.base_dir,
+                model_dir=args.model_dir,
+                n_components=cfg.train.n_components,
+            )
+            print(json.dumps({"models": paths}))
+        elif args.enhanced:
+            import cv2
+
+            from face_detection_recognization_pca_tpu.models.enhanced import (
+                save_enhanced,
+                train_enhanced,
+            )
+            from face_detection_recognization_pca_tpu.pipeline.train_app import (
+                _load_person_vectors,  # reuse JSON-driven crop listing
+            )
+
+            if not args.person:
+                p.error("--enhanced needs --person")
+            import os
+
+            lock = args.lock_dir or cfg.paths.lock_dir
+            pdir = os.path.join(lock, args.person)
+            _, info = _load_person_vectors(pdir, args.person, (64, 64))
+            crops = []
+            for rec in info:
+                path = rec["image_path"]
+                if not os.path.exists(path):
+                    path = os.path.join(pdir, os.path.basename(path.replace("\\", "/")))
+                img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+                if img is not None:
+                    crops.append(img)
+            model = train_enhanced(
+                crops, [0] * len(crops), {args.person: 0}
+            )
+            out = os.path.join(pdir, "enhanced_model.pkl")
+            save_enhanced(model, out)
+            print(json.dumps({"model": out, "crops": len(crops)}))
+        elif args.all:
             arts = train_all_persons(args.lock_dir, cfg)
             print(json.dumps({k: a.n_components for k, a in arts.items()}))
         elif args.person:
@@ -110,7 +177,29 @@ def main(argv=None) -> int:
             scan_video_guided,
         )
 
-        if args.live:
+        if args.dual:
+            from face_detection_recognization_pca_tpu.pipeline.v1_apps import (
+                scan_dual,
+            )
+
+            out = scan_dual(
+                args.video,
+                args.dual,
+                output_dir=args.output or cfg.paths.output_dir,
+                config=cfg,
+                max_frames=args.max_frames,
+            )
+            print(json.dumps(out))
+            return 0
+        if args.haar_multi:
+            from face_detection_recognization_pca_tpu.pipeline.scan_app import (
+                scan_haar_multimodel,
+            )
+
+            results = scan_haar_multimodel(
+                args.video, args.lock_dir, args.output, cfg, args.max_frames
+            )
+        elif args.live:
             results = scan_multimodel(
                 0, args.lock_dir, args.output, cfg, args.max_frames
             )

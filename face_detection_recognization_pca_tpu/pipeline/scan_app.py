@@ -165,6 +165,76 @@ def scan_video_guided(
     return results
 
 
+def scan_haar_multimodel(
+    source,
+    lock_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+) -> List[dict]:
+    """v3-generation scanning (``useless/scan-template-v3.py``): Haar
+    detection per frame, every crop verified against all person models,
+    best cosine across models wins (threshold 0.7)."""
+    import cv2
+
+    from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    stack = ModelStack.from_lock_dir(lock)
+    recognizer = MultiModelRecognizer(stack, cfg.recognize)
+    detector = HaarDetector()
+
+    reader = VideoReader(source)
+    meta = reader.meta
+    writer = (
+        VideoWriter(output_path, (meta.width, meta.height), meta.fps)
+        if output_path
+        else None
+    )
+    results: List[dict] = []
+    frame_no = 0
+    for frame in reader.frames():
+        if max_frames is not None and frame_no >= max_frames:
+            break
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        faces = detector.detect_multi_scale(
+            gray,
+            cfg.detect.scale_factor,
+            cfg.detect.min_neighbors,
+            cfg.detect.min_size,
+        )
+        for (x, y, w, h) in faces:
+            crop = frame[y : y + h, x : x + w]
+            pid, name, conf = (
+                recognizer.recognize_one(crop, cfg.recognize.cosine_threshold)
+                if crop.size
+                else (-1, UNKNOWN, 0.0)
+            )
+            if pid < 0:
+                name = UNKNOWN
+            annotate.draw_guided(frame, (x, y, w, h), name, conf)
+            results.append(
+                {
+                    "frame_number": frame_no,
+                    "person_id": int(pid),
+                    "person_name": name,
+                    "confidence": float(conf),
+                    "x": int(x),
+                    "y": int(y),
+                    "width": int(w),
+                    "height": int(h),
+                }
+            )
+        if writer:
+            writer.write(frame)
+        frame_no += 1
+    reader.close()
+    if writer:
+        writer.close()
+    return results
+
+
 def scan_multimodel(
     source,
     lock_dir: Optional[str] = None,
