@@ -80,6 +80,12 @@ def main(argv=None) -> int:
     r.add_argument("--max-frames", type=int, default=None)
     r.add_argument("--no-scan", action="store_true")
 
+    e = sub.add_parser("eval", help="top-1 accuracy on a holdout split")
+    e.add_argument("--lock-dir", default="faces/lock_version")
+    e.add_argument("--holdout-every", type=int, default=5)
+    e.add_argument("--components", type=int, default=100)
+    e.add_argument("--max-per-person", type=int, default=None)
+
     b = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
     b.add_argument("--streams", type=int, default=8)
     b.add_argument("--frames", type=int, default=64)
@@ -235,6 +241,21 @@ def main(argv=None) -> int:
             scan=not args.no_scan,
         )
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "eval":
+        from face_detection_recognization_pca_tpu.pipeline.eval_app import (
+            holdout_eval,
+        )
+
+        stats = holdout_eval(
+            args.lock_dir,
+            holdout_every=args.holdout_every,
+            n_components=args.components,
+            max_per_person=args.max_per_person,
+            config=cfg,
+        )
+        print(json.dumps(stats))
         return 0
 
     if args.cmd == "bench":
