@@ -218,6 +218,21 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
     fps = t_frames * streams / dt
 
     ids, conf, tm_conf, lx, ly = (np.asarray(a).reshape(-1) for a in out)
+
+    # Secondary metric of record: PCA training wall time at the
+    # reference's multi-person scale (969 faces x 4096 pixels, k=100 --
+    # BASELINE.md) on this chip, steady state.
+    from face_detection_recognization_pca_tpu.linalg.pca import snapshot_pca
+
+    rng2 = np.random.default_rng(1)
+    train_x = jnp.asarray(
+        rng2.normal(120, 30, (969, 4096)).astype(np.float32)
+    )
+    fit = jax.jit(lambda a: snapshot_pca(a, 100))
+    jax.block_until_ready(fit(train_x))  # compile
+    t1 = time.perf_counter()
+    jax.block_until_ready(fit(train_x))
+    train_wall_s = time.perf_counter() - t1
     return {
         "metric": f"recognized {size} frames/sec/chip (fused guided detect+project+match, {streams} streams)",
         "value": round(float(fps), 1),
@@ -229,6 +244,7 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
             "step_ms": round(dt * 1e3, 3),
             "min_pca_conf": round(float(conf.min()), 4),
             "min_tm_conf": round(float(tm_conf.min()), 4),
+            "pca_train_wall_s_969x4096_k100": round(train_wall_s, 4),
             "device": str(jax.devices()[0]),
         },
     }

@@ -1,0 +1,110 @@
+"""CLI wiring: every subcommand end to end (in-process main())."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from face_detection_recognization_pca_tpu.pipeline.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(reference_root, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    return d
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    return json.loads(out[-1])
+
+
+def test_cli_detect_train_scan_chain(workdir, reference_root, capsys, monkeypatch):
+    monkeypatch.chdir(workdir)
+    video = os.path.join(reference_root, "videos/test.mp4")
+
+    out = _run(
+        capsys,
+        ["detect", "--video", video, "--person", "cliperson", "--max-frames", "5"],
+    )
+    assert out["faces"] >= 3
+
+    out = _run(capsys, ["train", "--person", "cliperson"])
+    assert out["person"] == "cliperson"
+    assert out["n_faces"] == out["n_faces"]
+
+    out = _run(
+        capsys,
+        [
+            "scan",
+            "--video",
+            video,
+            "--person",
+            "cliperson",
+            "--output",
+            str(workdir / "rec.mp4"),
+            "--max-frames",
+            "5",
+        ],
+    )
+    assert out["recognitions"] >= 1
+
+    out = _run(
+        capsys,
+        [
+            "scan",
+            "--video",
+            video,
+            "--multi",
+            "--max-frames",
+            "3",
+        ],
+    )
+    assert "recognitions" in out
+
+    out = _run(
+        capsys,
+        [
+            "eval",
+            "--lock-dir",
+            "faces/lock_version",
+            "--holdout-every",
+            "3",
+            "--components",
+            "4",
+        ],
+    )
+    assert out["top1_accuracy"] >= 0.0 and out["persons"] == 1
+
+
+def test_cli_train_all_and_enhanced(workdir, reference_root, capsys, monkeypatch):
+    monkeypatch.chdir(workdir)
+    if not os.path.isdir(str(workdir / "faces/lock_version/cliperson")):
+        pytest.skip("depends on detect test running first")
+    out = _run(capsys, ["train", "--all"])
+    assert "cliperson" in out and "multi_person" in out
+
+    out = _run(capsys, ["train", "--enhanced", "--person", "cliperson"])
+    assert out["crops"] >= 3
+    assert os.path.exists(out["model"])
+
+
+def test_cli_config_roundtrip(workdir, capsys, monkeypatch, tmp_path):
+    from face_detection_recognization_pca_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    back = PipelineConfig.from_json(p.read_text())
+    assert back.detect.template_scales == cfg.detect.template_scales
+    assert back.recognize.pca_gate == cfg.recognize.pca_gate
+
+
+def test_cli_bad_args():
+    with pytest.raises(SystemExit):
+        main(["scan"])  # missing mode
+    with pytest.raises(SystemExit):
+        main(["train"])  # missing person/all
