@@ -109,12 +109,16 @@ def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
     throughput at these sizes."""
     s = windows.shape[0]
     out_n = WIN - TPL + 1  # 97 valid positions per axis
+    # Centered copy for the NCC statistics only (numerator-invariant;
+    # keeps the f32 window-variance cancellation benign -- see
+    # ops/match.py).  Recognition crops must stay raw pixels.
+    windows_c = windows - jnp.mean(windows)
 
     # NCC numerator via FFT correlation.  WIN = 2*TPL, so the circular
     # correlation at size WIN is alias-free for all valid shifts -- no
     # padding needed.  XLA's direct conv with a 96x96 kernel runs ~50x
     # off MXU peak here; the FFT path is ~100x less arithmetic.
-    fw = jnp.fft.rfft2(windows)
+    fw = jnp.fft.rfft2(windows_c)
     ft = jnp.conj(jnp.fft.rfft2(template0, (WIN, WIN)))
     num = jnp.fft.irfft2(fw * ft[None], (WIN, WIN))[:, :out_n, :out_n]
 
@@ -124,11 +128,11 @@ def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
     xx = jax.lax.broadcasted_iota(jnp.int32, (WIN, out_n), 1)
     band = ((jj >= xx) & (jj < xx + TPL)).astype(jnp.float32)
     s1 = jnp.einsum(
-        "swv,wy,vx->syx", windows, band, band, preferred_element_type=jnp.float32
+        "swv,wy,vx->syx", windows_c, band, band, preferred_element_type=jnp.float32
     )
     s2 = jnp.einsum(
         "swv,wy,vx->syx",
-        windows * windows,
+        windows_c * windows_c,
         band,
         band,
         preferred_element_type=jnp.float32,
@@ -137,7 +141,10 @@ def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
     n = TPL * TPL
     var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)
     denom = jnp.sqrt(t_energy * var_n)
-    scores = jnp.where(denom > 1e-6, num / jnp.where(denom > 1e-6, denom, 1.0), 0.0)
+    safe = var_n > n * 1.0
+    scores = jnp.clip(
+        jnp.where(safe, num / jnp.where(safe, denom, 1.0), 0.0), -1.0, 1.0
+    )
     flat = scores.reshape(s, -1)
     loc = jnp.argmax(flat, axis=1)
     tm_conf = jnp.take_along_axis(flat, loc[:, None], 1)[:, 0]

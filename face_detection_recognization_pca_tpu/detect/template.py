@@ -31,13 +31,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from face_detection_recognization_pca_tpu.config import DetectConfig
-from face_detection_recognization_pca_tpu.ops.integral import (
-    integral_image,
-    window_sums,
-)
 from face_detection_recognization_pca_tpu.ops.match import (
     match_template_ccoeff_normed,
     min_max_loc,
@@ -149,39 +144,119 @@ class TemplateBank:
 
 @functools.partial(jax.jit, static_argnames=("th", "tw"))
 def _fused_score_maps(
-    frame: jnp.ndarray, t0: jnp.ndarray, t_energy: jnp.ndarray, th: int, tw: int
+    frames: jnp.ndarray, t0: jnp.ndarray, t_energy: jnp.ndarray, th: int, tw: int
 ) -> jnp.ndarray:
-    """One conv for all templates: frame (H, W) x t0 (T, th, tw) ->
-    (T, H-th+1, W-tw+1) TM_CCOEFF_NORMED scores."""
-    f = frame.astype(jnp.float32)
-    lhs = f[None, None]
-    rhs = t0[:, None]  # (T, 1, th, tw) as OIHW
-    num = lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )[0]
+    """All templates against a frame batch as FFT correlation:
+    frames (B, H, W) x t0 (T, th, tw) -> (B, T, H-th+1, W-tw+1)
+    TM_CCOEFF_NORMED.
+
+    One forward rFFT per frame + B*T spectrum products; window
+    mean/variance from two banded-ones matmuls (box filters on the MXU).
+    XLA's direct conv with 100+ pixel kernels measured ~50x off MXU peak
+    (see bench.py), which made the original conv formulation the live
+    scanner's bottleneck.
+    """
+    f = frames.astype(jnp.float32)
+    # Center by the global mean: the numerator is invariant (sum(t0)=0)
+    # and the window-variance cancellation s2 - s1^2/n loses ~200x less
+    # precision in f32 when local means sit near zero.
+    f = f - jnp.mean(f, axis=(1, 2), keepdims=True)
+    b, h, w = f.shape
+    out_h, out_w = h - th + 1, w - tw + 1
+    # 5-smooth FFT sizes: arbitrary resize dims (e.g. 680 = 8*5*17,
+    # 453 = 3*151) fall onto Bluestein-slow TPU FFT paths; zero-padding
+    # to the next smooth length leaves all valid correlation shifts
+    # untouched (pad >= template overhang).
+    from face_detection_recognization_pca_tpu.ops.match import _next_fast_len
+
+    h2, w2 = _next_fast_len(h), _next_fast_len(w)
+    ff = jnp.fft.rfft2(f, (h2, w2))  # (B, H2, W2f)
+    kf = jnp.conj(jnp.fft.rfft2(t0, (h2, w2)))  # (T, H2, W2f)
+    num = jnp.fft.irfft2(ff[:, None] * kf[None], (h2, w2))[
+        :, :, :out_h, :out_w
+    ]
+
+    def band(src: int, out: int, win: int):
+        jj = jax.lax.broadcasted_iota(jnp.int32, (src, out), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (src, out), 1)
+        return ((jj >= xx) & (jj < xx + win)).astype(jnp.float32)
+
+    by = band(h, out_h, th)
+    bx = band(w, out_w, tw)
+    s1 = jnp.einsum(
+        "bhw,hy,wx->byx", f, by, bx, preferred_element_type=jnp.float32
+    )
+    s2 = jnp.einsum(
+        "bhw,hy,wx->byx", f * f, by, bx, preferred_element_type=jnp.float32
+    )
     n = th * tw
-    s1 = window_sums(integral_image(f, jnp.float32), (th, tw))
-    s2 = window_sums(integral_image(f * f, jnp.float32), (th, tw))
     win_var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)
-    denom = jnp.sqrt(t_energy[:, None, None] * win_var_n[None])
-    safe = denom > 1e-6
-    return jnp.where(safe, num / jnp.where(safe, denom, 1.0), 0.0)
+    # Variance floor: windows with per-pixel std < 1 gray level are flat
+    # (no face) and their tiny denominators would amplify f32/FFT noise
+    # into bogus scores; OpenCV's C path has an equivalent eps cutoff.
+    safe = win_var_n > n * 1.0
+    denom = jnp.sqrt(
+        t_energy[None, :, None, None] * win_var_n[:, None]
+    )
+    scores = jnp.where(
+        safe[:, None], num / jnp.where(safe[:, None], denom, 1.0), 0.0
+    )
+    return jnp.clip(scores, -1.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw"))
-def _fused_best_per_template(frame, t0, t_energy, th: int, tw: int):
-    scores = _fused_score_maps(frame, t0, t_energy, th, tw)
-    t = scores.shape[0]
-    flat = scores.reshape(t, -1)
-    idx = jnp.argmax(flat, axis=1)
-    best = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+def _fused_best_per_template(frames, t0, t_energy, valid_mask, th: int, tw: int):
+    """Best VALID position per (frame, template): the border/corner
+    rejection mask is applied on-device before the argmax, so a rejected
+    global peak falls through to the best admissible position (strictly
+    better than the reference's skip-the-candidate loop)."""
+    scores = _fused_score_maps(frames, t0, t_energy, th, tw)
+    scores = jnp.where(valid_mask[None, None], scores, -jnp.inf)
+    b, t = scores.shape[0], scores.shape[1]
+    flat = scores.reshape(b, t, -1)
+    idx = jnp.argmax(flat, axis=2)
+    best = jnp.take_along_axis(flat, idx[..., None], axis=2)[..., 0]
     w = scores.shape[-1]
     return best, idx % w, idx // w
+
+
+@functools.lru_cache(maxsize=64)
+def _validity_mask(
+    out_h: int,
+    out_w: int,
+    box_w: int,
+    box_h: int,
+    frame_w: int,
+    frame_h: int,
+    corner_threshold: float,
+    border_threshold: float,
+    scale: float,
+) -> np.ndarray:
+    """Admissible (y, x) positions in *resized-frame* coordinates for a
+    detection whose original-frame box is (box_w, box_h): inverse of
+    ``in_border_or_corner`` evaluated densely (all integer positions)."""
+    ys, xs = np.mgrid[0:out_h, 0:out_w]
+    gx = (xs * scale).astype(np.int64)
+    gy = (ys * scale).astype(np.int64)
+    from face_detection_recognization_pca_tpu.ops.nms import (
+        in_border_or_corner,
+    )
+
+    boxes = np.stack(
+        [
+            gx.reshape(-1),
+            gy.reshape(-1),
+            np.full(gx.size, box_w),
+            np.full(gx.size, box_h),
+        ],
+        axis=1,
+    ).astype(np.float64)
+    rej = np.asarray(
+        in_border_or_corner(
+            boxes, frame_w, frame_h, corner_threshold, border_threshold
+        )
+    )
+    return ~rej.reshape(out_h, out_w)
 
 
 class TemplateDetector:
@@ -194,9 +269,16 @@ class TemplateDetector:
     # -- fused TPU engine ---------------------------------------------------
 
     def detect_fused(self, frame_gray: np.ndarray) -> List[Detection]:
-        """All persons/templates in one conv per scale.
+        """All persons/templates in one FFT pass per scale (one frame)."""
+        return self.detect_fused_batch(frame_gray[None])[0]
 
-        The frame is resized by 1/scale (so a template of canonical size
+    def detect_fused_batch(
+        self, frames_gray: np.ndarray
+    ) -> List[List[Detection]]:
+        """Batched fused detection: ``(B, H, W)`` frames, one device
+        dispatch per scale for the whole batch.
+
+        Frames are resized by 1/scale (so a template of canonical size
         matches faces at ``scale x`` canonical size in the original),
         mirroring the reference's template-side scaling up to resampling
         order.
@@ -205,15 +287,16 @@ class TemplateDetector:
         if self.bank.canonical is None:
             raise ValueError("bank has no canonical templates")
         th, tw = self.bank.canonical_size
-        fh, fw = frame_gray.shape
+        nb, fh, fw = frames_gray.shape
         t0 = self.bank.canonical - jnp.mean(
             self.bank.canonical, axis=(1, 2), keepdims=True
         )
         energy = jnp.sum(t0 * t0, axis=(1, 2))
         n_persons = len(self.bank.person_names)
-        best_per_person = np.full(n_persons, -np.inf)
-        best_box = np.zeros((n_persons, 4), dtype=np.int64)
-        best_scale = np.ones(n_persons)
+        best_per_person = np.full((nb, n_persons), -np.inf)
+        best_box = np.zeros((nb, n_persons, 4), dtype=np.int64)
+        best_scale = np.ones((nb, n_persons))
+        pid = np.asarray(self.bank.template_person)
 
         for scale in cfg.template_scales:
             box_w = int(tw * scale)
@@ -228,49 +311,59 @@ class TemplateDetector:
             rw = max(int(round(fw / scale)), tw + 1)
             rh = max(int(round(fh / scale)), th + 1)
             resized = resize_bilinear(
-                jnp.asarray(frame_gray), (rw, rh), dtype=jnp.float32
+                jnp.asarray(frames_gray), (rw, rh), dtype=jnp.float32
             )
-            best, xs, ys = _fused_best_per_template(resized, t0, energy, th, tw)
-            best = np.asarray(best)
+            mask = jnp.asarray(
+                _validity_mask(
+                    rh - th + 1,
+                    rw - tw + 1,
+                    box_w,
+                    box_h,
+                    fw,
+                    fh,
+                    cfg.corner_threshold,
+                    cfg.border_threshold,
+                    scale,
+                )
+            )
+            best, xs, ys = _fused_best_per_template(
+                resized, t0, energy, mask, th, tw
+            )
+            best = np.asarray(best)  # (B, T)
             xs = np.asarray(xs)
             ys = np.asarray(ys)
-            pid = np.asarray(self.bank.template_person)
-            for t in range(best.shape[0]):
-                p = pid[t]
-                x = int(xs[t] * scale)
-                y = int(ys[t] * scale)
-                cand = np.array([[x, y, box_w, box_h]], dtype=np.float64)
-                if bool(
-                    np.asarray(
-                        in_border_or_corner(
-                            cand,
-                            fw,
-                            fh,
-                            cfg.corner_threshold,
-                            cfg.border_threshold,
-                        )
-                    )[0]
-                ):
-                    continue
-                if best[t] > best_per_person[p]:
-                    best_per_person[p] = best[t]
-                    best_box[p] = [x, y, box_w, box_h]
-                    best_scale[p] = scale
+            for b in range(nb):
+                for t in range(best.shape[1]):
+                    p = pid[t]
+                    if not np.isfinite(best[b, t]):
+                        continue
+                    if best[b, t] > best_per_person[b, p]:
+                        best_per_person[b, p] = best[b, t]
+                        best_box[b, p] = [
+                            int(xs[b, t] * scale),
+                            int(ys[b, t] * scale),
+                            box_w,
+                            box_h,
+                        ]
+                        best_scale[b, p] = scale
 
-        dets = [
-            Detection(
-                x=int(best_box[p, 0]),
-                y=int(best_box[p, 1]),
-                width=int(best_box[p, 2]),
-                height=int(best_box[p, 3]),
-                confidence=float(best_per_person[p]),
-                person_name=self.bank.person_names[p],
-                scale=float(best_scale[p]),
-            )
-            for p in range(n_persons)
-            if best_per_person[p] > cfg.template_threshold
-        ]
-        return self._nms(dets)
+        out: List[List[Detection]] = []
+        for b in range(nb):
+            dets = [
+                Detection(
+                    x=int(best_box[b, p, 0]),
+                    y=int(best_box[b, p, 1]),
+                    width=int(best_box[b, p, 2]),
+                    height=int(best_box[b, p, 3]),
+                    confidence=float(best_per_person[b, p]),
+                    person_name=self.bank.person_names[p],
+                    scale=float(best_scale[b, p]),
+                )
+                for p in range(n_persons)
+                if best_per_person[b, p] > cfg.template_threshold
+            ]
+            out.append(self._nms(dets))
+        return out
 
     # -- parity engine ------------------------------------------------------
 

@@ -97,6 +97,11 @@ def match_template_ccoeff_normed(
     """
     dtype = jnp.promote_types(frame.dtype, jnp.float32)
     f = frame.astype(dtype)
+    # Global-mean centering: invariant for TM_CCOEFF_NORMED (the
+    # zero-mean template kills the constant in the numerator, and the
+    # window variance is shift-invariant) but avoids catastrophic f32
+    # cancellation in s2 - s1^2/n on accelerator paths.
+    f = f - jnp.mean(f)
     t = template.astype(dtype)
     th, tw = t.shape
     n = th * tw
@@ -116,8 +121,12 @@ def match_template_ccoeff_normed(
     s1 = window_sums(integral_image(f, dtype), (th, tw))
     s2 = window_sums(integral_image(f * f, dtype), (th, tw))
     win_var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)  # n * window variance
+    # Guard flat windows: below ~eps-level per-pixel variance the score
+    # is pure floating-point noise (OpenCV zeroes these too).  In f32 /
+    # FFT mode the threshold must be meaningfully above rounding error.
+    var_floor = n * (eps if f.dtype == jnp.float64 else 1e-2)
+    safe = win_var_n > var_floor
     denom = jnp.sqrt(t_energy * win_var_n)
-    safe = denom > eps * jnp.sqrt(t_energy) * n
     scores = jnp.where(safe, num / jnp.where(safe, denom, 1.0), 0.0)
     return jnp.clip(scores, -1.0, 1.0)
 

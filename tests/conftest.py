@@ -20,6 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the Haar/e2e tests recompile dozens of
+# per-shape programs; caching them across test sessions cuts minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fdrp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
