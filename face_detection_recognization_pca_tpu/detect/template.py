@@ -38,7 +38,6 @@ from face_detection_recognization_pca_tpu.ops.match import (
     min_max_loc,
 )
 from face_detection_recognization_pca_tpu.ops.nms import (
-    NEG_INF,
     in_border_or_corner,
     nms,
 )

@@ -23,7 +23,7 @@ maximum; ``argmax`` over the flattened result does the same.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

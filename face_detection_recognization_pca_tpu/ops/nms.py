@@ -11,8 +11,6 @@ detection slots (XLA needs static shapes; empty slots carry score -inf):
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ operands are replicated -- pure DP with zero collectives per step.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -27,7 +26,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
-    LinearizedModel,
     linearize_model,
 )
 
@@ -50,8 +48,11 @@ def _make_step(win: int, tpl: int):
             return jax.lax.dynamic_slice(frame, (oyx[0], oyx[1]), (win, win))
 
         windows = jax.vmap(window_of)(frames, origin)
+        # Centered copy for NCC statistics only (f32 cancellation safety
+        # -- see ops/match.py); recognition crops stay raw pixels.
+        windows_c = windows - jnp.mean(windows)
 
-        fw = jnp.fft.rfft2(windows)
+        fw = jnp.fft.rfft2(windows_c)
         ft = jnp.conj(jnp.fft.rfft2(template0, (win, win)))
         num = jnp.fft.irfft2(fw * ft[None], (win, win))[:, :out_n, :out_n]
 
@@ -59,18 +60,20 @@ def _make_step(win: int, tpl: int):
         xx = jax.lax.broadcasted_iota(jnp.int32, (win, out_n), 1)
         band = ((jj >= xx) & (jj < xx + tpl)).astype(jnp.float32)
         s1 = jnp.einsum(
-            "swv,wy,vx->syx", windows, band, band,
+            "swv,wy,vx->syx", windows_c, band, band,
             preferred_element_type=jnp.float32,
         )
         s2 = jnp.einsum(
-            "swv,wy,vx->syx", windows * windows, band, band,
+            "swv,wy,vx->syx", windows_c * windows_c, band, band,
             preferred_element_type=jnp.float32,
         )
         n = tpl * tpl
         var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)
         denom = jnp.sqrt(t_energy * var_n)
-        safe = denom > 1e-6
-        scores = jnp.where(safe, num / jnp.where(safe, denom, 1.0), 0.0)
+        safe = var_n > n * 1.0
+        scores = jnp.clip(
+            jnp.where(safe, num / jnp.where(safe, denom, 1.0), 0.0), -1.0, 1.0
+        )
         flat = scores.reshape(s, -1)
         loc = jnp.argmax(flat, axis=1)
         tm_conf = jnp.take_along_axis(flat, loc[:, None], 1)[:, 0]

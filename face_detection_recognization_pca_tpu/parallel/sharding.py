@@ -8,8 +8,7 @@ nothing implicit -- what you read here is the communication schedule.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

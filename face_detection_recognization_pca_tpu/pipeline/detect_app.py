@@ -15,9 +15,7 @@ import os
 from datetime import datetime
 from typing import Optional
 
-import numpy as np
-
-from face_detection_recognization_pca_tpu.config import DetectConfig, PipelineConfig
+from face_detection_recognization_pca_tpu.config import PipelineConfig
 from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
 from face_detection_recognization_pca_tpu.io.detection_json import (
     DetectionFile,

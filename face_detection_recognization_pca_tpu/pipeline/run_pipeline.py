@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from typing import List, Optional
+from typing import Optional
 
 from face_detection_recognization_pca_tpu.config import PipelineConfig
 from face_detection_recognization_pca_tpu.pipeline.detect_app import detect_video

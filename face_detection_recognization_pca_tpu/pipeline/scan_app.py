@@ -39,7 +39,6 @@ from face_detection_recognization_pca_tpu.io.detection_json import (
 )
 from face_detection_recognization_pca_tpu.io.video import VideoReader, VideoWriter
 from face_detection_recognization_pca_tpu.models import eigenfaces as ef
-from face_detection_recognization_pca_tpu.ops.similarity import cosine_gallery
 from face_detection_recognization_pca_tpu.recognize.engine import (
     ModelStack,
     MultiModelRecognizer,

@@ -19,14 +19,13 @@ from __future__ import annotations
 import json
 import os
 from datetime import datetime
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from face_detection_recognization_pca_tpu.config import PipelineConfig
 from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
 from face_detection_recognization_pca_tpu.io.artifacts import (
-    EigenfacesArtifact,
     load_model,
     save_model_v1,
 )

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import sys
 from collections import Counter
-from typing import Dict, Optional
+from typing import Dict
 
 _FORMAT = "%(asctime)s %(name)s %(levelname)s %(message)s"
 
