@@ -131,6 +131,29 @@ def match_template_ccoeff_normed(
     return jnp.clip(scores, -1.0, 1.0)
 
 
+def match_template_ccoeff(
+    frame: jnp.ndarray, template: jnp.ndarray, method: str = "auto"
+) -> jnp.ndarray:
+    """Plain TM_CCOEFF (unnormalized correlation coefficient), the mode
+    of the reference's template-detector generation
+    (``useless/scan-template.py:101-147``): cross-correlation of the
+    window-mean-removed frame with the zero-mean template.
+
+    R(x,y) = sum (T - mean T) . (I_win - mean I_win)
+           = corr(I, T0) - sum(I_win) * mean(T0) = corr(I, T0)
+    since T0 is zero-mean; identical numerator to the normed variant,
+    just without the variance normalization.
+    """
+    dtype = jnp.promote_types(frame.dtype, jnp.float32)
+    f = frame.astype(dtype)
+    t = template.astype(dtype)
+    t0 = t - jnp.mean(t)
+    n = t.shape[0] * t.shape[1]
+    if method == "auto":
+        method = "direct" if n <= 32 * 32 else "fft"
+    return (_xcorr_direct if method == "direct" else _xcorr_fft)(f, t0)
+
+
 def min_max_loc(scores: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``cv2.minMaxLoc`` max side: (max_val, (x, y)) with row-major
     first-occurrence tie-breaking."""

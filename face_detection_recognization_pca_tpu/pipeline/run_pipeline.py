@@ -36,6 +36,7 @@ def run_pipeline(
     output_dir: Optional[str] = None,
     max_frames: Optional[int] = None,
     scan: bool = True,
+    enhanced: bool = False,
 ) -> dict:
     """Full detect/train/recognize flow for one person.
 
@@ -78,6 +79,32 @@ def run_pipeline(
     out["n_components"] = art.n_components
     person_dir = os.path.join(cfg.paths.lock_dir, person_name)
     out["model_path"] = os.path.join(person_dir, "face_model.pkl")
+
+    if enhanced:
+        # Enhanced-pipeline variant (useless/run_pipeline_enhanced.py):
+        # train the multi-feature ensemble alongside the PCA model.
+        import cv2
+
+        from face_detection_recognization_pca_tpu.models.enhanced import (
+            save_enhanced,
+            train_enhanced,
+        )
+
+        crops = []
+        for rec in art.face_info or []:
+            path = rec.get("image_path", "")
+            if not os.path.exists(path):
+                path = os.path.join(
+                    person_dir, os.path.basename(str(path).replace("\\", "/"))
+                )
+            img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+            if img is not None:
+                crops.append(img)
+        if crops:
+            emodel = train_enhanced(crops, [0] * len(crops), {person_name: 0})
+            epath = os.path.join(person_dir, "enhanced_model.pkl")
+            save_enhanced(emodel, epath)
+            out["enhanced_model_path"] = epath
 
     if scan:
         log.info("=== stage 3/3: recognition ===")
