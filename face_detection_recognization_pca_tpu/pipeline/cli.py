@@ -64,6 +64,11 @@ def main(argv=None) -> int:
         help="Haar detection + all-model verification (v3 mode)",
     )
     s.add_argument(
+        "--tracked",
+        action="store_true",
+        help="batched tracker path on --video with --person (TPU throughput mode)",
+    )
+    s.add_argument(
         "--dual",
         nargs="+",
         metavar="MODEL_PKL",
@@ -196,6 +201,23 @@ def main(argv=None) -> int:
                 max_frames=args.max_frames,
             )
             print(json.dumps(out))
+            return 0
+        if args.tracked:
+            from face_detection_recognization_pca_tpu.pipeline.tracked_scan import (
+                scan_video_tracked,
+            )
+
+            if not (args.video and args.person):
+                p.error("--tracked needs --video and --person")
+            results = scan_video_tracked(
+                args.video,
+                args.person,
+                args.lock_dir,
+                output_json=args.output,
+                config=cfg,
+                max_frames=args.max_frames,
+            )
+            print(json.dumps({"recognitions": len(results)}))
             return 0
         if args.haar_multi:
             from face_detection_recognization_pca_tpu.pipeline.scan_app import (
