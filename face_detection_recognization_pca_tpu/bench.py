@@ -97,7 +97,7 @@ def _synth_assets(streams: int, size: Tuple[int, int], gallery_n: int = 256,
     return frames, (win_y, win_x), lin, jnp.asarray(face)
 
 
-def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
+def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
               win_y: int, win_x: int):
     """One fused detect+recognize step over a window batch.
 
@@ -114,13 +114,13 @@ def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
     # ops/match.py).  Recognition crops must stay raw pixels.
     windows_c = windows - jnp.mean(windows)
 
-    # NCC numerator via FFT correlation.  WIN = 2*TPL, so the circular
-    # correlation at size WIN is alias-free for all valid shifts -- no
-    # padding needed.  XLA's direct conv with a 96x96 kernel runs ~50x
-    # off MXU peak here; the FFT path is ~100x less arithmetic.
-    fw = jnp.fft.rfft2(windows_c)
-    ft = jnp.conj(jnp.fft.rfft2(template0, (WIN, WIN)))
-    num = jnp.fft.irfft2(fw * ft[None], (WIN, WIN))[:, :out_n, :out_n]
+    # NCC numerator via circular correlation.  WIN = 2*TPL makes the
+    # size-WIN transform alias-free for all valid shifts.  The DFT is
+    # evaluated as dense cos/sin MATMULS (ops/dft_match.py): XLA's
+    # direct conv with a 96x96 kernel ran ~50x off MXU peak, and
+    # jnp.fft consumed 13 of the 13.4 ms step -- the MXU-DFT removes
+    # both bottlenecks.
+    num = corr_fn(windows_c)
 
     # Window sums / energies as banded-ones matmuls (box filter on MXU):
     # B (WIN, out_n) with B[j, x] = 1 iff x <= j < x + TPL.
@@ -174,52 +174,55 @@ def _step_one(windows, template0, t_energy, m, bias, gallery_t, gnorm,
     return ids, conf, tm_conf, lx + win_x, ly + win_y
 
 
-@functools.partial(jax.jit, static_argnames=("win_y", "win_x"))
-def _bench_scan(frames_t, template0, t_energy, m, bias, gallery_t, gnorm,
-                win_y: int, win_x: int):
-    """Scan the fused step over a time axis of frame batches -- one
-    dispatch processes T x S frames (amortizes host->device latency the
-    way a streaming video pipeline does)."""
+def _make_bench_scan(corr_fn):
+    @functools.partial(jax.jit, static_argnames=("win_y", "win_x"))
+    def _bench_scan(frames_t, t_energy, m, bias, gallery_t, gnorm,
+                    win_y: int, win_x: int):
+        """One dispatch = T x S frames: windows sliced up front, time
+        axis flattened into the batch (maximum MXU occupancy)."""
+        t, s = frames_t.shape[0], frames_t.shape[1]
+        windows_t = jax.lax.dynamic_slice(
+            frames_t, (0, 0, win_y, win_x), (t, s, WIN, WIN)
+        ).reshape(t * s, WIN, WIN)
+        return _step_one(
+            windows_t, corr_fn, t_energy, m, bias, gallery_t, gnorm,
+            win_y=win_y, win_x=win_x,
+        )
 
-    # Slice every step's search windows up front and flatten the time
-    # axis into the batch: the whole dispatch is ONE conv + ONE matmul
-    # over T*S frames (maximum MXU occupancy, no sequential scan).
-    t, s = frames_t.shape[0], frames_t.shape[1]
-    windows_t = jax.lax.dynamic_slice(
-        frames_t, (0, 0, win_y, win_x), (t, s, WIN, WIN)
-    ).reshape(t * s, WIN, WIN)
-    return _step_one(
-        windows_t, template0, t_energy, m, bias, gallery_t, gnorm,
-        win_y=win_y, win_x=win_x,
-    )
+    return _bench_scan
 
 
 def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
               iters: int = 20, warmup: int = 3) -> dict:
+    from face_detection_recognization_pca_tpu.ops.dft_match import (
+        make_circular_correlator,
+    )
+
     hw = SIZES[size]
     frames, (win_y, win_x), lin, face = _synth_assets(streams, hw)
     t_frames = frames.shape[0]
-    template0 = face - jnp.mean(face)
-    t_energy = jnp.sum(template0 * template0)
+    template0 = np.asarray(face) - float(jnp.mean(face))
+    t_energy = jnp.asarray(np.sum(template0 * template0, dtype=np.float64).astype(np.float32))
+    corr_fn = make_circular_correlator(template0, WIN, WIN - TPL + 1)
+    bench_scan = _make_bench_scan(corr_fn)
 
     args = (
         frames,
-        template0,
         t_energy,
         lin.m,
         lin.bias,
         lin.gallery_t,
         lin.gallery_norm,
     )
-    out = _bench_scan(*args, win_y=win_y, win_x=win_x)
+    out = bench_scan(*args, win_y=win_y, win_x=win_x)
     jax.block_until_ready(out)
     for _ in range(warmup):
-        out = _bench_scan(*args, win_y=win_y, win_x=win_x)
+        out = bench_scan(*args, win_y=win_y, win_x=win_x)
     jax.block_until_ready(out)
 
     t0_ = time.perf_counter()
     for _ in range(iters):
-        out = _bench_scan(*args, win_y=win_y, win_x=win_x)
+        out = bench_scan(*args, win_y=win_y, win_x=win_x)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0_) / iters
     fps = t_frames * streams / dt

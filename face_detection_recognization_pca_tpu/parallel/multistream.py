@@ -37,11 +37,16 @@ class MultiStreamState:
     origin: jnp.ndarray  # (S, 2) int32
 
 
-def _make_step(win: int, tpl: int):
+def _make_step(win: int, tpl: int, template0: np.ndarray):
     out_n = win - tpl + 1
+    from face_detection_recognization_pca_tpu.ops.dft_match import (
+        make_circular_correlator,
+    )
+
+    corr_fn = make_circular_correlator(np.asarray(template0), win, out_n)
 
     @jax.jit
-    def step(frames, origin, template0, t_energy, m, bias, gallery_t, gnorm):
+    def step(frames, origin, t_energy, m, bias, gallery_t, gnorm):
         s = frames.shape[0]
 
         def window_of(frame, oyx):
@@ -52,9 +57,9 @@ def _make_step(win: int, tpl: int):
         # -- see ops/match.py); recognition crops stay raw pixels.
         windows_c = windows - jnp.mean(windows)
 
-        fw = jnp.fft.rfft2(windows_c)
-        ft = jnp.conj(jnp.fft.rfft2(template0, (win, win)))
-        num = jnp.fft.irfft2(fw * ft[None], (win, win))[:, :out_n, :out_n]
+        # MXU-DFT circular correlation (see ops/dft_match.py; ~5x the
+        # jnp.fft path at these sizes).
+        num = corr_fn(windows_c)
 
         jj = jax.lax.broadcasted_iota(jnp.int32, (win, out_n), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (win, out_n), 1)
@@ -129,18 +134,17 @@ class MultiStreamRecognizer:
             raise ValueError("window must exceed template size")
         self.win, self.tpl = int(window), tpl
         lin = linearize_model(model, (tpl, tpl))
-        t0 = jnp.asarray(template, jnp.float32)
-        t0 = t0 - jnp.mean(t0)
+        t0 = np.asarray(template, np.float32)
+        t0 = t0 - t0.mean()
         self._args = (
-            t0,
-            jnp.sum(t0 * t0),
+            jnp.asarray(np.sum(t0 * t0, dtype=np.float64).astype(np.float32)),
             lin.m,
             lin.bias,
             lin.gallery_t,
             lin.gallery_norm,
         )
         self.labels = lin.labels
-        self._step = _make_step(self.win, tpl)
+        self._step = _make_step(self.win, tpl, t0)
         self.mesh = mesh
         self.data_axis = data_axis
 
