@@ -210,6 +210,45 @@ def recognize_enhanced(
     return -1, "unknown", conf
 
 
+_PROFILE_CASCADE = "/usr/share/opencv4/haarcascades/haarcascade_profileface.xml"
+_profile_detector = None
+
+
+def detect_face_angle(face_gray: np.ndarray) -> str:
+    """'frontal' / 'left_profile' / 'right_profile' via the profile Haar
+    cascade (train-enhanced.py:48-73): a profile hit whose center lies
+    left of the crop midline is a left profile, else right."""
+    global _profile_detector
+    import os
+
+    if _profile_detector is None:
+        if not os.path.exists(_PROFILE_CASCADE):
+            _profile_detector = False
+        else:
+            from face_detection_recognization_pca_tpu.detect.haar import (
+                HaarDetector,
+                load_cascade,
+            )
+
+            try:
+                _profile_detector = HaarDetector(
+                    load_cascade(_PROFILE_CASCADE), top_k=256
+                )
+            except ValueError:
+                # e.g. tilted features; angle detection degrades to frontal.
+                _profile_detector = False
+    if not _profile_detector:
+        return "frontal"
+    profiles = _profile_detector.detect_multi_scale(
+        np.asarray(face_gray, np.uint8), 1.1, 4, (24, 24)
+    )
+    if profiles:
+        h, w = face_gray.shape
+        x, y, wp, hp = profiles[0]
+        return "left_profile" if x + wp // 2 < w // 2 else "right_profile"
+    return "frontal"
+
+
 # ---------------------------------------------------------------------------
 # Artifact I/O (reference pickle schema, train-enhanced.py:381-392)
 # ---------------------------------------------------------------------------

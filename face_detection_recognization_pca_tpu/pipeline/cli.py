@@ -69,6 +69,11 @@ def main(argv=None) -> int:
         help="batched tracker path on --video with --person (TPU throughput mode)",
     )
     s.add_argument(
+        "--enhanced",
+        action="store_true",
+        help="enhanced ensemble scan on --video with --person",
+    )
+    s.add_argument(
         "--dual",
         nargs="+",
         metavar="MODEL_PKL",
@@ -216,6 +221,23 @@ def main(argv=None) -> int:
                 output_json=args.output,
                 config=cfg,
                 max_frames=args.max_frames,
+            )
+            print(json.dumps({"recognitions": len(results)}))
+            return 0
+        if args.enhanced:
+            from face_detection_recognization_pca_tpu.pipeline.scan_app import (
+                scan_enhanced_video,
+            )
+
+            if not (args.video and args.person):
+                p.error("--enhanced needs --video and --person")
+            results = scan_enhanced_video(
+                args.video,
+                args.person,
+                args.lock_dir,
+                args.output,
+                cfg,
+                args.max_frames,
             )
             print(json.dumps({"recognitions": len(results)}))
             return 0

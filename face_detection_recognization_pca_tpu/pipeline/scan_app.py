@@ -234,6 +234,82 @@ def scan_haar_multimodel(
     return results
 
 
+def scan_enhanced_video(
+    source,
+    person_name: str,
+    lock_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+) -> List[dict]:
+    """Enhanced-model scanning (``useless/scan-enhanced.py``): Haar
+    detection, per-crop angle classification (profile cascade), and the
+    weighted multi-branch ensemble with angle-aware reweighting."""
+    import cv2
+
+    from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
+    from face_detection_recognization_pca_tpu.models.enhanced import (
+        detect_face_angle,
+        load_enhanced,
+        recognize_enhanced,
+    )
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    model = load_enhanced(
+        os.path.join(lock, person_name, "enhanced_model.pkl")
+    )
+    detector = HaarDetector()
+    reader = VideoReader(source)
+    meta = reader.meta
+    writer = (
+        VideoWriter(output_path, (meta.width, meta.height), meta.fps)
+        if output_path
+        else None
+    )
+    results: List[dict] = []
+    frame_no = 0
+    for frame in reader.frames():
+        if max_frames is not None and frame_no >= max_frames:
+            break
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        faces = detector.detect_multi_scale(
+            gray,
+            cfg.detect.scale_factor,
+            cfg.detect.min_neighbors,
+            cfg.detect.min_size,
+        )
+        for (x, y, w, h) in faces:
+            crop = gray[y : y + h, x : x + w]
+            if not crop.size:
+                continue
+            angle = detect_face_angle(crop)
+            pid, name, conf = recognize_enhanced(
+                model, crop, profile=angle != "frontal"
+            )
+            annotate.draw_guided(frame, (x, y, w, h), name, conf)
+            results.append(
+                {
+                    "frame_number": frame_no,
+                    "person_id": int(pid),
+                    "person_name": name,
+                    "confidence": float(conf),
+                    "angle": angle,
+                    "x": int(x),
+                    "y": int(y),
+                    "width": int(w),
+                    "height": int(h),
+                }
+            )
+        if writer:
+            writer.write(frame)
+        frame_no += 1
+    reader.close()
+    if writer:
+        writer.close()
+    return results
+
+
 def scan_multimodel(
     source,
     lock_dir: Optional[str] = None,
