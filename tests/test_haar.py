@@ -101,3 +101,21 @@ def test_group_rectangles_semantics():
     # Clusters with exactly threshold members are dropped (strict >).
     out2 = group_rectangles(base, 6)
     assert out2 == []
+
+
+def test_batch_matches_single(reference_root, detector):
+    import cv2
+
+    cap = cv2.VideoCapture(os.path.join(reference_root, "videos/test.mp4"))
+    frames = []
+    for _ in range(3):
+        ret, fr = cap.read()
+        if not ret:
+            break
+        frames.append(cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY))
+    cap.release()
+    batch = np.stack(frames)
+    out_batch = detector.detect_multi_scale_batch(batch, 1.1, 5, (30, 30))
+    for b, g in enumerate(frames):
+        single = detector.detect_multi_scale(g, 1.1, 5, (30, 30))
+        assert out_batch[b] == single
