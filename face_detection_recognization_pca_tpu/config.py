@@ -39,11 +39,14 @@ class DetectConfig:
     # NMS (reference: scan-template-v4.py:199-251).
     nms_overlap_threshold: float = 0.3
 
-    # Guided search (reference: scripts/manual/scan-template-v2.py:463-523).
+    # Guided search (reference: scripts/manual/scan-template-v2.py:463-523;
+    # live mode :326-395 uses frame-0 priors with tolerance 10, a 2.0x
+    # search window, and a lower 0.3 match threshold).
     search_scale_video: float = 1.5
     search_scale_live: float = 2.0
     guided_threshold_live: float = 0.3
     frame_tolerance: int = 5
+    frame_tolerance_live: int = 10
 
     # Static capacity for XLA (padded detection slots per frame).
     max_detections: int = 16

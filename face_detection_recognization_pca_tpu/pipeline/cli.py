@@ -56,7 +56,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("scan", help="recognize faces in video/live stream")
     s.add_argument("--video", help="video path (guided mode with --person)")
     s.add_argument("--person", help="guided scan against this person's model")
-    s.add_argument("--live", action="store_true", help="webcam multi-model scan")
+    s.add_argument(
+        "--live",
+        action="store_true",
+        help="webcam scan: guided single-person mode with --person, "
+        "multi-model (v4) mode without",
+    )
     s.add_argument("--multi", action="store_true", help="multi-model scan on --video")
     s.add_argument(
         "--haar-multi",
@@ -248,6 +253,20 @@ def main(argv=None) -> int:
 
             results = scan_haar_multimodel(
                 args.video, args.lock_dir, args.output, cfg, args.max_frames
+            )
+        elif args.live and args.person:
+            # --live --person = guided live mode (scripts/manual/
+            # run_pipeline.py:242 passes these to scan-template-v2).
+            from face_detection_recognization_pca_tpu.pipeline.scan_app import (
+                scan_live_guided,
+            )
+
+            results = scan_live_guided(
+                args.person,
+                lock_dir=args.lock_dir,
+                output_path=args.output,
+                config=cfg,
+                max_frames=args.max_frames,
             )
         elif args.live:
             results = scan_multimodel(

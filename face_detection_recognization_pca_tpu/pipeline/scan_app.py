@@ -54,19 +54,11 @@ from face_detection_recognization_pca_tpu.utils.logging import Counters, get_log
 log = get_logger("fdrp.scan")
 
 
-def scan_video_guided(
-    video_path: str,
-    person_name: str,
-    lock_dir: Optional[str] = None,
-    output_path: Optional[str] = None,
-    config: Optional[PipelineConfig] = None,
-    max_frames: Optional[int] = None,
-) -> List[dict]:
-    """Guided video recognition (scan-template-v2 video mode)."""
+def _load_guided_assets(person_name: str, lock: str):
+    """Model + detection JSON + first-crop template for guided scans
+    (reference loader ``scan-template-v2.py:90-125``)."""
     import cv2
 
-    cfg = config or PipelineConfig()
-    lock = lock_dir or cfg.paths.lock_dir
     person_dir = os.path.join(lock, person_name)
     art = load_model(os.path.join(person_dir, "face_model.pkl"))
     model = ef.from_artifact(art, dtype=np.float32)
@@ -83,6 +75,23 @@ def scan_video_guided(
     template = cv2.imread(tpath, cv2.IMREAD_GRAYSCALE) if tpath else None
     if template is None:
         raise ValueError(f"no usable template crop for {person_name}")
+    return art, model, det_json, template
+
+
+def scan_video_guided(
+    video_path: str,
+    person_name: str,
+    lock_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+) -> List[dict]:
+    """Guided video recognition (scan-template-v2 video mode)."""
+    import cv2
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    art, model, det_json, template = _load_guided_assets(person_name, lock)
     matcher = GuidedMatcher(template, cfg.detect.search_scale_video)
 
     reader = VideoReader(video_path)
@@ -160,6 +169,118 @@ def scan_video_guided(
             indent=2,
             ensure_ascii=False,
         )
+    log.info("\n%s", counters.recognition_summary())
+    return results
+
+
+def scan_live_guided(
+    person_name: str,
+    lock_dir: Optional[str] = None,
+    camera_index: int = 0,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+    frame_source=None,
+) -> List[dict]:
+    """Guided live-camera recognition (``FaceScanner.process_live_camera``,
+    reference ``scripts/manual/scan-template-v2.py:298-423``).
+
+    Live-mode semantics: the position prior is fixed to the training
+    video's **frame-0** detections with tolerance 10 (``:326``), the
+    search window is ``search_scale_live`` = 2.0x (``:343``), and a
+    lower ``guided_threshold_live`` = 0.3 match gate (``:393``) admits
+    the hit; the crop is PCA-recognized and overlaid with the
+    ``"{name} ({conf:.2f}) TM:{tm:.2f}"`` label (``:401-408``).
+
+    ``frame_source``: optional iterable of BGR frames replacing the
+    webcam (tests / offline replay).  Unlike the reference (which
+    returns an always-empty list, ``:319,423``), every admitted hit is
+    recorded with the guided record schema.
+    """
+    import cv2
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    art, model, det_json, template = _load_guided_assets(person_name, lock)
+    matcher = GuidedMatcher(template, cfg.detect.search_scale_live)
+    # Frame-0 priors, computed once: live frames have no training-video
+    # frame numbers to align to (scan-template-v2.py:326).
+    priors = reference_positions(det_json, 0, cfg.detect.frame_tolerance_live)
+    names_by_id = art.names_by_id
+
+    closer = None
+    if frame_source is None:
+        cap = cv2.VideoCapture(camera_index)
+        if not cap.isOpened():
+            raise IOError(f"cannot open camera {camera_index}")
+        frame_source = iter(
+            lambda: cap.read()[1] if cap.isOpened() else None, None
+        )
+        closer = cap.release
+
+    writer = None
+    results: List[dict] = []
+    counters = Counters()
+    frame_no = 0
+    try:
+        for frame in frame_source:
+            if frame is None or (
+                max_frames is not None and frame_no >= max_frames
+            ):
+                break
+            counters.inc("frames")
+            if writer is None and output_path:
+                writer = VideoWriter(
+                    output_path,
+                    (frame.shape[1], frame.shape[0]),
+                    cfg.video.live_fps,
+                )
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            hit = (
+                matcher.match_frame(gray, priors, frame_no) if priors else None
+            )
+            if (
+                hit is not None
+                and hit["confidence"] > cfg.detect.guided_threshold_live
+            ):
+                counters.inc("frames_with_detection")
+                x, y, w, h = hit["x"], hit["y"], hit["width"], hit["height"]
+                crop = frame[y : y + h, x : x + w]
+                pid, conf = -1, 0.0
+                if crop.size:
+                    ids, confs = ef.recognize(
+                        model,
+                        crop[None],
+                        threshold=cfg.recognize.cosine_threshold,
+                    )
+                    pid, conf = int(ids[0]), float(confs[0])
+                name = names_by_id.get(pid, UNKNOWN) if pid >= 0 else UNKNOWN
+                if name != UNKNOWN:
+                    counters.inc("frames_recognized")
+                annotate.draw_live_guided(
+                    frame, (x, y, w, h), name, conf, hit["confidence"]
+                )
+                results.append(
+                    {
+                        "frame_number": int(frame_no),
+                        "x": int(x),
+                        "y": int(y),
+                        "width": int(w),
+                        "height": int(h),
+                        "person_id": int(pid),
+                        "person_name": str(name),
+                        "confidence": float(conf),
+                        "template_match_confidence": float(hit["confidence"]),
+                    }
+                )
+            if writer is not None:
+                writer.write(frame)
+            frame_no += 1
+    finally:
+        if closer is not None:
+            closer()
+        if writer is not None:
+            writer.close()
     log.info("\n%s", counters.recognition_summary())
     return results
 

@@ -62,6 +62,26 @@ def draw_guided(
     )
 
 
+def draw_live_guided(
+    frame: np.ndarray,
+    box: Tuple[int, int, int, int],
+    name: str,
+    confidence: float,
+    template_conf: float,
+) -> None:
+    """Guided live overlay: ``"{name} ({conf:.2f}) TM:{tm:.2f}"`` in 0.6pt
+    (``scripts/manual/scan-template-v2.py:401-408``)."""
+    import cv2
+
+    x, y, w, h = box
+    color = GREEN if name != "unknown" else RED
+    cv2.rectangle(frame, (x, y), (x + w, y + h), color, 2)
+    label = f"{name} ({confidence:.2f}) TM:{template_conf:.2f}"
+    cv2.putText(
+        frame, label, (x, y - 10), cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2
+    )
+
+
 def draw_v1_square(
     frame: np.ndarray,
     box: Tuple[int, int, int, int],
