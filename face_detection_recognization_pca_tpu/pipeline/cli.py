@@ -35,6 +35,12 @@ def main(argv=None) -> int:
     d.add_argument("--person", required=True)
     d.add_argument("--output-root", default=None)
     d.add_argument("--max-frames", type=int, default=None)
+    d.add_argument(
+        "--v1",
+        action="store_true",
+        help="v1 generation: 20px-padded 100x100 crops, "
+        "{person}_face_NNNN.jpg naming, resumable ids, video metadata JSON",
+    )
 
     t = sub.add_parser("train", help="crops -> PCA model artifacts")
     t.add_argument("--person", help="single person (train-v4 mode)")
@@ -112,8 +118,19 @@ def main(argv=None) -> int:
     if args.cmd == "detect":
         from face_detection_recognization_pca_tpu.pipeline.detect_app import (
             detect_video,
+            detect_video_v1,
         )
 
+        if args.v1:
+            meta = detect_video_v1(
+                args.video,
+                args.output_root or cfg.paths.faces_root,
+                args.person,
+                config=cfg,
+                max_frames=args.max_frames,
+            )
+            print(json.dumps({"faces": len(meta["faces"])}))
+            return 0
         det = detect_video(
             args.video,
             args.person,
