@@ -48,7 +48,8 @@ class DetectConfig:
     frame_tolerance: int = 5
     frame_tolerance_live: int = 10
 
-    # Static capacity for XLA (padded detection slots per frame).
+    # Per-frame detection capacity: scan paths keep at most this many
+    # detections per frame (static slot budget for batched programs).
     max_detections: int = 16
 
 

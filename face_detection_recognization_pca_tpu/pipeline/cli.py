@@ -90,6 +90,17 @@ def main(argv=None) -> int:
         metavar="MODEL_PKL",
         help="v1 dual dark/light scan with these model pickles",
     )
+    s.add_argument(
+        "--template-detect",
+        action="store_true",
+        help="with --dual: detect by full-frame multi-template TM_CCOEFF "
+        "(scales 0.5-1.6, <=10 templates/dir under --faces-dir) instead of Haar",
+    )
+    s.add_argument(
+        "--faces-dir",
+        default="faces",
+        help="template source directory for --template-detect",
+    )
     s.add_argument("--output", default=None)
     s.add_argument("--lock-dir", default=None)
     s.add_argument("--max-frames", type=int, default=None)
@@ -220,11 +231,21 @@ def main(argv=None) -> int:
                 scan_dual,
             )
 
+            detector = None
+            if args.template_detect:
+                from face_detection_recognization_pca_tpu.detect.ccoeff import (
+                    CcoeffTemplateDetector,
+                )
+
+                detector = CcoeffTemplateDetector.from_faces_dir(
+                    args.faces_dir
+                )
             out = scan_dual(
                 args.video,
                 args.dual,
                 output_dir=args.output or cfg.paths.output_dir,
                 config=cfg,
+                detector=detector,
                 max_frames=args.max_frames,
             )
             print(json.dumps(out))

@@ -323,7 +323,7 @@ def scan_haar_multimodel(
             cfg.detect.scale_factor,
             cfg.detect.min_neighbors,
             cfg.detect.min_size,
-        )
+        )[: cfg.detect.max_detections]
         for (x, y, w, h) in faces:
             crop = frame[y : y + h, x : x + w]
             pid, name, conf = (
@@ -480,7 +480,7 @@ def scan_multimodel(
         if frame is None or (max_frames is not None and frame_no >= max_frames):
             break
         gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-        detections = detect(gray)
+        detections = detect(gray)[: cfg.detect.max_detections]
 
         # Multi-face arbitration (scan-template-v4.py:352-377).
         pca_cache = {}
