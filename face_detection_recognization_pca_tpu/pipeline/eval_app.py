@@ -60,25 +60,30 @@ def evaluate_model(
     threshold: float = 0.0,
     exact: bool = True,
 ) -> Dict[str, float]:
-    """Top-1 accuracy + confidence stats for labeled crops."""
+    """Top-1 accuracy + confidence stats for labeled crops.
+
+    Batched: crops are grouped by pixel shape (one ``ef.recognize``
+    dispatch per distinct shape, not per crop -- detection crops repeat
+    a handful of box sizes, so this is a few programs total).
+    """
     assert len(crops) == len(true_ids)
-    correct = 0
-    rejected = 0
-    confs = []
-    for crop, tid in zip(crops, true_ids):
-        ids, conf = ef.recognize(model, crop[None], threshold, exact=exact)
-        pid, c = int(np.asarray(ids)[0]), float(np.asarray(conf)[0])
-        confs.append(c)
-        if pid == -1:
-            rejected += 1
-        elif pid == tid:
-            correct += 1
     n = len(crops)
+    pred = np.full(n, -1, dtype=np.int64)
+    confs = np.zeros(n)
+    groups: Dict[tuple, List[int]] = {}
+    for i, c in enumerate(crops):
+        groups.setdefault(c.shape, []).append(i)
+    for shape, idxs in groups.items():
+        batch = np.stack([crops[i] for i in idxs])
+        ids, conf = ef.recognize(model, batch, threshold, exact=exact)
+        pred[idxs] = np.asarray(ids)
+        confs[idxs] = np.asarray(conf)
+    true = np.asarray(true_ids)
     return {
         "n": n,
-        "top1_accuracy": correct / n if n else 0.0,
-        "reject_rate": rejected / n if n else 0.0,
-        "mean_confidence": float(np.mean(confs)) if confs else 0.0,
+        "top1_accuracy": float((pred == true).sum() / n) if n else 0.0,
+        "reject_rate": float((pred == -1).sum() / n) if n else 0.0,
+        "mean_confidence": float(confs.mean()) if n else 0.0,
     }
 
 
@@ -123,7 +128,11 @@ def holdout_eval(
     y = np.asarray(train_labels, np.int32)
     k = max(1, min(n_components, x.shape[0] - 1, x.shape[1]))
     model, _ = ef.train_v2(x, y, k, face_shape=tuple(face_hw))
+    import time
+
+    t0 = time.perf_counter()
     stats = evaluate_model(model, eval_crops, eval_ids)
+    stats["eval_wall_s"] = round(time.perf_counter() - t0, 3)
     # Per-person breakdown.
     per_person = {}
     for person, pid in person_id_map.items():

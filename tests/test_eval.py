@@ -67,3 +67,28 @@ def test_evaluate_model_threshold_rejects(rng):
     )  # impossible threshold -> all rejected
     assert strict["reject_rate"] == 1.0
     assert strict["top1_accuracy"] == 0.0
+
+
+def test_evaluate_model_batches_by_shape(rng, monkeypatch):
+    """One recognize dispatch per distinct crop shape, not per crop."""
+    from face_detection_recognization_pca_tpu.pipeline import eval_app
+
+    x = rng.normal(100, 30, (20, 4096))
+    model, _ = ef.train_v1(x, n_components=5)
+    crops = [x[i].reshape(64, 64) for i in range(6)]
+    crops += [np.asarray(c[:32, :32]) for c in crops[:3]]  # 2nd shape
+
+    calls = []
+    real = ef.recognize
+
+    def counting(model, batch, *a, **k):
+        calls.append(np.asarray(batch).shape)
+        return real(model, batch, *a, **k)
+
+    monkeypatch.setattr(eval_app.ef, "recognize", counting)
+    stats = eval_app.evaluate_model(
+        model, crops, [0] * len(crops), threshold=0.0
+    )
+    assert stats["n"] == 9
+    assert len(calls) == 2  # one dispatch per shape group
+    assert sorted(c[0] for c in calls) == [3, 6]
