@@ -276,6 +276,265 @@ def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
     return level_fn, level_fn_batch
 
 
+def _pyramid_levels(
+    h: int,
+    w: int,
+    window: Tuple[int, int],
+    scale_factor: float,
+    min_size: Tuple[int, int],
+    max_size: Optional[Tuple[int, int]],
+) -> List[Tuple[float, int, int, int]]:
+    """Static level plan [(factor, sh, sw, step)] shared by the
+    per-level and single-program paths (identical window grids)."""
+    wh, ww = window
+    levels = []
+    factor = 1.0
+    while True:
+        win_w = int(round(ww * factor))
+        win_h = int(round(wh * factor))
+        sw, sh = int(round(w / factor)), int(round(h / factor))
+        if sw - ww <= 0 or sh - wh <= 0:
+            break
+        if max_size and (win_w > max_size[0] or win_h > max_size[1]):
+            break
+        if win_w >= min_size[0] and win_h >= min_size[1]:
+            step = 1 if factor > 2.0 else 2
+            levels.append((factor, sh, sw, step))
+        factor *= scale_factor
+    return levels
+
+
+def _make_pyramid_fn(
+    cascade: HaarCascade,
+    levels: Tuple[Tuple[float, int, int, int], ...],
+    prefilter_stages: int,
+    k_pool_a: int = 8192,
+    k_pool_b: int = 1024,
+    mid_stages: int = 10,
+):
+    """ONE jitted program evaluating a chunk of pyramid levels.
+
+    The per-level path costs ~2 dispatches x ~30 levels per frame
+    (resize + evaluate), each a host round-trip.  Here everything for
+    the chunk lives in one XLA program with a three-tier funnel (the
+    XLA answer to OpenCV's per-window early exit -- dense prefilter,
+    then two rounds of top-k *compaction* + MXU matmul):
+
+    1. Phase A: per level, resize + integral images + the first
+       ``prefilter_stages`` stages evaluated densely for every window
+       via strided slices (~1-2% of windows survive).
+    2. Phase B1: the chunk's A-survivors are pooled (top ``k_pool_a``
+       across all its levels -- integrals are padded into one stacked
+       tensor so a (level, y, x) gather works), their 25x25 integral
+       patches gathered once, and stages ``prefilter_stages..
+       mid_stages`` evaluated as ONE (k_pool_a, 625) @ (625, S_mid)
+       matmul (~0.1% survive).
+    3. Phase B2: B1 survivors are compacted again (top ``k_pool_b``)
+       and the remaining stages run as a second matmul.
+
+    Exactness: survivor *counts* after A and B1 are returned; the
+    caller falls back to the per-level engine whenever a pool would
+    truncate, so published detections never depend on pool capacity.
+
+    Returns (ok, cx, cy, level_id, count_a, count_b1) with ``k_pool_b``
+    candidate slots in level-local coordinates.
+    """
+    wh, ww = cascade.window_size
+    side = max(wh, ww) + 1
+    pf_end = int(
+        cascade.stage_offsets[min(prefilter_stages, cascade.n_stages)]
+    )
+    mid_end = int(
+        cascade.stage_offsets[min(mid_stages, cascade.n_stages)]
+    )
+    sf = cascade.stump_feature
+    rects = cascade.rects
+    st = cascade.stump_threshold
+    l0, l1 = cascade.leaf0, cascade.leaf1
+    soff = cascade.stage_offsets
+    sthr = cascade.stage_thresholds
+    S = cascade.n_stumps
+    stage_of = np.zeros(S, dtype=np.int32)
+    for si in range(cascade.n_stages):
+        stage_of[soff[si] : soff[si + 1]] = si
+    norm_area = (wh - 2) * (ww - 2)
+
+    # Static pooled-index maps: pooled window i -> (level, cy, cx).
+    lvl_np, cy_np, cx_np = [], [], []
+    grid = []
+    for li, (_, sh, sw, step) in enumerate(levels):
+        ny = (sh - wh) // step + 1
+        nx = (sw - ww) // step + 1
+        grid.append((ny, nx, step))
+        iy, ix = np.mgrid[0:ny, 0:nx]
+        lvl_np.append(np.full(ny * nx, li, dtype=np.int32))
+        cy_np.append((iy * step).reshape(-1).astype(np.int32))
+        cx_np.append((ix * step).reshape(-1).astype(np.int32))
+    lvl_all = np.concatenate(lvl_np)
+    cy_all = np.concatenate(cy_np)
+    cx_all = np.concatenate(cx_np)
+    max_h = max(sh for (_, sh, _, _) in levels)
+    max_w = max(sw for (_, _, sw, _) in levels)
+
+    # Stage-membership (one-hot) matrices for the two matmul phases:
+    # (n_stumps_in_phase, n_stages_in_phase) so stage sums are matmuls
+    # too (segment_sum lowers poorly inside big fused programs).
+    def stage_onehot(s0, s1, st0, st1):
+        m = np.zeros((s1 - s0, st1 - st0), dtype=np.float32)
+        for s in range(s0, s1):
+            m[s - s0, stage_of[s] - st0] = 1.0
+        return jnp.asarray(m)
+
+    n_mid_stages = min(mid_stages, cascade.n_stages) - prefilter_stages
+    oh_mid = stage_onehot(pf_end, mid_end, prefilter_stages,
+                          prefilter_stages + n_mid_stages)
+    oh_tail = (
+        stage_onehot(mid_end, S, min(mid_stages, cascade.n_stages),
+                     cascade.n_stages)
+        if mid_end < S
+        else None
+    )
+    corner_mid = jnp.asarray(cascade.corner_matrix[:, pf_end:mid_end])
+    corner_tail = (
+        jnp.asarray(cascade.corner_matrix[:, mid_end:])
+        if mid_end < S
+        else None
+    )
+    sthr_mid = jnp.asarray(
+        cascade.stage_thresholds[
+            prefilter_stages : prefilter_stages + n_mid_stages
+        ]
+    )
+    sthr_tail = jnp.asarray(
+        cascade.stage_thresholds[min(mid_stages, cascade.n_stages) :]
+    )
+
+    def _phase_a_level(img, sh, sw, step, ny, nx):
+        scaled = (
+            img
+            if (sh, sw) == img.shape
+            else resize_bilinear(img, (sw, sh), jnp.float32)
+        )
+        f = scaled.astype(jnp.float32)
+        pad = [(1, 0), (1, 0)]
+        integral = jnp.pad(jnp.cumsum(jnp.cumsum(f, axis=0), axis=1), pad)
+        sqintegral = jnp.pad(
+            jnp.cumsum(jnp.cumsum(f * f, axis=0), axis=1), pad
+        )
+        s1 = _grid_rect_sum(integral, 1, 1, ww - 2, wh - 2, ny, nx, step)
+        s2 = _grid_rect_sum(sqintegral, 1, 1, ww - 2, wh - 2, ny, nx, step)
+        nf2 = norm_area * s2 - s1 * s1
+        nf = jnp.where(nf2 > 0, jnp.sqrt(jnp.maximum(nf2, 0.0)), 1.0)
+
+        passed = jnp.ones((ny, nx), dtype=bool)
+        si = 0
+        k = 0
+        while k < pf_end:
+            stage_sum = jnp.zeros((ny, nx), jnp.float32)
+            for s in range(int(soff[si]), int(soff[si + 1])):
+                val = jnp.zeros((ny, nx), jnp.float32)
+                for (x, y, w_, h_, wt) in rects[sf[s]]:
+                    if wt == 0.0:
+                        continue
+                    val += jnp.float32(wt) * _grid_rect_sum(
+                        integral, int(x), int(y), int(w_), int(h_), ny, nx, step
+                    )
+                stage_sum += jnp.where(val < st[s] * nf, l0[s], l1[s])
+            passed = passed & (stage_sum >= sthr[si])
+            k = int(soff[si + 1])
+            si += 1
+        # Pad the integral to the stacked (max_h+1, max_w+1) shape so
+        # pooled (level, y, x) gathers work across the chunk.
+        integral = jnp.pad(
+            integral,
+            ((0, max_h + 1 - integral.shape[0]), (0, max_w + 1 - integral.shape[1])),
+        )
+        return passed.reshape(-1), nf.reshape(-1), integral
+
+    def _stump_stage_test(patches, nf_c, corner_p, st_p, l0_p, l1_p, oh, thr):
+        rectsums = jnp.dot(
+            patches, corner_p, preferred_element_type=jnp.float32
+        )
+        vals = jnp.where(
+            rectsums < st_p[None, :] * nf_c[:, None], l0_p[None, :], l1_p[None, :]
+        )
+        stage_sums = jnp.dot(vals, oh, preferred_element_type=jnp.float32)
+        return jnp.all(stage_sums >= thr[None, :], axis=1)
+
+    st_mid = jnp.asarray(st[pf_end:mid_end])
+    l0_mid = jnp.asarray(l0[pf_end:mid_end])
+    l1_mid = jnp.asarray(l1[pf_end:mid_end])
+    st_tail = jnp.asarray(st[mid_end:])
+    l0_tail = jnp.asarray(l0[mid_end:])
+    l1_tail = jnp.asarray(l1[mid_end:])
+    lvl_all_j = jnp.asarray(lvl_all)
+    cy_all_j = jnp.asarray(cy_all)
+    cx_all_j = jnp.asarray(cx_all)
+    n_pool = int(lvl_all.shape[0])
+    kk_a = min(k_pool_a, n_pool)
+    kk_b = min(k_pool_b, kk_a)
+
+    def _gather_patches(integrals, lvl_c, cy_c, cx_c):
+        dy = jnp.arange(side)[:, None]
+        dx = jnp.arange(side)[None, :]
+        rows_i = cy_c[:, None, None] + dy[None]
+        cols_i = cx_c[:, None, None] + dx[None]
+        return integrals[lvl_c[:, None, None], rows_i, cols_i].reshape(
+            -1, side * side
+        )
+
+    def _core(img):
+        pass_l, nf_l, int_l = [], [], []
+        for li, (_, sh, sw, step) in enumerate(levels):
+            ny, nx, _ = grid[li]
+            p, nf, integ = _phase_a_level(img, sh, sw, step, ny, nx)
+            pass_l.append(p)
+            nf_l.append(nf)
+            int_l.append(integ)
+        passed = jnp.concatenate(pass_l)  # (n_pool,)
+        nf_all = jnp.concatenate(nf_l)
+        integrals = jnp.stack(int_l)  # (L, max_h+1, max_w+1)
+        count_a = jnp.sum(passed)
+
+        # Pool 1: chunk-wide compaction of phase-A survivors.
+        _, cand = lax.top_k(passed.astype(jnp.float32), kk_a)
+        ok_a = passed[cand]
+        lvl_c = lvl_all_j[cand]
+        cy_c = cy_all_j[cand]
+        cx_c = cx_all_j[cand]
+        nf_c = nf_all[cand]
+        patches = _gather_patches(integrals, lvl_c, cy_c, cx_c)
+        ok_b1 = (
+            _stump_stage_test(
+                patches, nf_c, corner_mid, st_mid, l0_mid, l1_mid,
+                oh_mid, sthr_mid,
+            )
+            & ok_a
+        )
+        count_b1 = jnp.sum(ok_b1)
+
+        if corner_tail is None:
+            return ok_b1, cx_c, cy_c, lvl_c, count_a, count_b1
+
+        # Pool 2: compact B1 survivors, run the remaining stages.
+        _, cand2 = lax.top_k(ok_b1.astype(jnp.float32), kk_b)
+        ok_b1_c = ok_b1[cand2]
+        patches2 = patches[cand2]
+        nf2 = nf_c[cand2]
+        ok = (
+            _stump_stage_test(
+                patches2, nf2, corner_tail, st_tail, l0_tail, l1_tail,
+                oh_tail, sthr_tail,
+            )
+            & ok_b1_c
+        )
+        return ok, cx_c[cand2], cy_c[cand2], lvl_c[cand2], count_a, count_b1
+
+    pyramid_fn = jax.jit(_core)
+    pyramid_fn_batch = jax.jit(jax.vmap(_core))
+    return pyramid_fn, pyramid_fn_batch
+
+
 class HaarDetector:
     """``detectMultiScale`` with reference parameter semantics."""
 
@@ -284,6 +543,9 @@ class HaarDetector:
         cascade: Optional[HaarCascade] = None,
         prefilter_stages: int = 5,
         top_k: int = 512,
+        fused_pyramid: bool = True,
+        k_per_level: int = 512,
+        pyramid_chunk: int = 5,
     ):
         # Defaults tuned on 960x544 frames: 5 dense prefilter stages
         # (136 stumps) cut phase-B candidates enough that K=512 never
@@ -293,6 +555,31 @@ class HaarDetector:
         self._level_fn, self._level_fn_batch = _make_level_fn(
             self.cascade, prefilter_stages, top_k
         )
+        self.fused_pyramid = fused_pyramid
+        self._prefilter_stages = prefilter_stages
+        self._k_pool_a = k_per_level * 16  # chunk-wide pool capacities
+        self._k_pool_b = k_per_level * 2
+        # Levels fused per program: phase A unrolls ~4k HLO ops per
+        # level, and XLA compile time grows superlinearly -- a whole
+        # 30-level 960x544 pyramid in one program compiles for >15 min,
+        # while 5-level chunks compile in seconds each and still cut
+        # dispatches/frame ~10x (6 chunk programs vs ~60 resize+eval
+        # round-trips).
+        self.pyramid_chunk = pyramid_chunk
+        self._pyramid_cache: dict = {}
+        self.last_dispatches = 0  # device calls in the last detect call
+
+    def _get_pyramid_fn(self, levels, ka, kb):
+        key = (tuple(levels), ka, kb)
+        if key not in self._pyramid_cache:
+            self._pyramid_cache[key] = _make_pyramid_fn(
+                self.cascade,
+                tuple(levels),
+                self._prefilter_stages,
+                k_pool_a=ka,
+                k_pool_b=kb,
+            )
+        return self._pyramid_cache[key]
 
     def detect_multi_scale(
         self,
@@ -303,47 +590,21 @@ class HaarDetector:
         max_size: Optional[Tuple[int, int]] = None,
     ) -> List[Tuple[int, int, int, int]]:
         """Faces as (x, y, w, h), grouped like the reference's call
-        (detection-v4.py:50-55)."""
-        h, w = gray.shape
-        wh, ww = self.cascade.window_size
-        raw: List[Tuple[int, int, int, int]] = []
-        factor = 1.0
-        while True:
-            win_w = int(round(ww * factor))
-            win_h = int(round(wh * factor))
-            sw, sh = int(round(w / factor)), int(round(h / factor))
-            if sw - ww <= 0 or sh - wh <= 0:
-                break
-            if max_size and (win_w > max_size[0] or win_h > max_size[1]):
-                break
-            if win_w < min_size[0] or win_h < min_size[1]:
-                factor *= scale_factor
-                continue
-            step = 1 if factor > 2.0 else 2
-            scaled = (
-                np.asarray(gray, dtype=np.float32)
-                if (sw, sh) == (w, h)
-                else np.asarray(
-                    resize_bilinear(jnp.asarray(gray), (sw, sh), jnp.float32)
-                )
-            )
-            ny = (sh - wh) // step + 1
-            nx = (sw - ww) // step + 1
-            ok, cx, cy = self._level_fn(jnp.asarray(scaled), ny, nx, step)
-            ok = np.asarray(ok)
-            cx = np.asarray(cx)
-            cy = np.asarray(cy)
-            for i in np.nonzero(ok)[0]:
-                raw.append(
-                    (
-                        int(round(cx[i] * factor)),
-                        int(round(cy[i] * factor)),
-                        win_w,
-                        win_h,
-                    )
-                )
-            factor *= scale_factor
-        return group_rectangles(raw, min_neighbors, eps=0.2)
+        (detection-v4.py:50-55).
+
+        Default engine: the single-program pyramid (one device dispatch
+        per frame).  Falls back to the per-level path -- identical math
+        -- when a level's phase-A survivors exceed the fused program's
+        per-level candidate slots (counts are returned exactly, so the
+        fallback triggers only when truncation would occur).
+        """
+        return self.detect_multi_scale_batch(
+            np.asarray(gray)[None],
+            scale_factor,
+            min_neighbors,
+            min_size,
+            max_size,
+        )[0]
 
     def detect_multi_scale_batch(
         self,
@@ -353,26 +614,87 @@ class HaarDetector:
         min_size: Tuple[int, int] = (30, 30),
         max_size: Optional[Tuple[int, int]] = None,
     ) -> List[List[Tuple[int, int, int, int]]]:
-        """Batched detectMultiScale: ``(B, H, W)`` frames, one device
-        dispatch per pyramid level for the whole batch (same detections
-        as the single-frame path; grouping still per frame)."""
+        """Batched detectMultiScale: ``(B, H, W)`` frames, ONE device
+        dispatch for the whole batch across all pyramid levels (same
+        detections as the per-level path; grouping still per frame)."""
+        grays = np.asarray(grays)
+        nb, h, w = grays.shape
+        wh, ww = self.cascade.window_size
+        levels = _pyramid_levels(
+            h, w, (wh, ww), scale_factor, min_size, max_size
+        )
+        if not levels:
+            return [[] for _ in range(nb)]
+        if not self.fused_pyramid:
+            return self._detect_batch_per_level(
+                grays, levels, min_neighbors
+            )
+
+        frames_j = jnp.asarray(grays.astype(np.float32))
+        chunk = max(1, self.pyramid_chunk)
+        raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
+        dispatches = 0
+        for c0 in range(0, len(levels), chunk):
+            part = levels[c0 : c0 + chunk]
+            n_pool = sum(
+                (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
+                for (_, sh, sw, st) in part
+            )
+            ka, kb = self._k_pool_a, self._k_pool_b
+            # Exactness loop: survivor counts are returned, so pool
+            # truncation is *detected*, and the chunk re-runs with
+            # doubled capacity (new program, cached) until exact.
+            while True:
+                fn_one, fn_batch = self._get_pyramid_fn(
+                    part, min(ka, n_pool), min(kb, ka, n_pool)
+                )
+                if nb == 1:
+                    o, x_, y_, l_, na, nb1 = (
+                        np.asarray(a)[None] for a in fn_one(frames_j[0])
+                    )
+                else:
+                    o, x_, y_, l_, na, nb1 = (
+                        np.asarray(a) for a in fn_batch(frames_j)
+                    )
+                dispatches += 1
+                kk_a = min(ka, n_pool)
+                kk_b = min(kb, kk_a)
+                trunc_a = kk_a < n_pool and np.any(na > kk_a)
+                trunc_b = kk_b < kk_a and np.any(nb1 > kk_b)
+                if trunc_a or trunc_b:
+                    ka *= 2
+                    kb *= 2
+                    continue
+                break
+            for b in range(nb):
+                for i in np.nonzero(o[b])[0]:
+                    factor = levels[int(l_[b, i]) + c0][0]
+                    raw[b].append(
+                        (
+                            int(round(x_[b, i] * factor)),
+                            int(round(y_[b, i] * factor)),
+                            int(round(ww * factor)),
+                            int(round(wh * factor)),
+                        )
+                    )
+        self.last_dispatches = dispatches
+        return [group_rectangles(r, min_neighbors, eps=0.2) for r in raw]
+
+    def _detect_batch_per_level(
+        self,
+        grays: np.ndarray,
+        levels: Sequence[Tuple[float, int, int, int]],
+        min_neighbors: int,
+    ) -> List[List[Tuple[int, int, int, int]]]:
+        """Per-level engine (one dispatch per level; exact top_k=512)."""
         nb, h, w = grays.shape
         wh, ww = self.cascade.window_size
         raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
-        frames_j = jnp.asarray(np.asarray(grays, dtype=np.float32))
-        factor = 1.0
-        while True:
+        frames_j = jnp.asarray(grays.astype(np.float32))
+        dispatches = 0
+        for (factor, sh, sw, step) in levels:
             win_w = int(round(ww * factor))
             win_h = int(round(wh * factor))
-            sw, sh = int(round(w / factor)), int(round(h / factor))
-            if sw - ww <= 0 or sh - wh <= 0:
-                break
-            if max_size and (win_w > max_size[0] or win_h > max_size[1]):
-                break
-            if win_w < min_size[0] or win_h < min_size[1]:
-                factor *= scale_factor
-                continue
-            step = 1 if factor > 2.0 else 2
             scaled = (
                 frames_j
                 if (sw, sh) == (w, h)
@@ -381,6 +703,7 @@ class HaarDetector:
             ny = (sh - wh) // step + 1
             nx = (sw - ww) // step + 1
             ok, cx, cy = self._level_fn_batch(scaled, ny, nx, step)
+            dispatches += 1
             ok = np.asarray(ok)
             cx = np.asarray(cx)
             cy = np.asarray(cy)
@@ -394,7 +717,7 @@ class HaarDetector:
                             win_h,
                         )
                     )
-            factor *= scale_factor
+        self.last_dispatches = dispatches
         return [group_rectangles(r, min_neighbors, eps=0.2) for r in raw]
 
 

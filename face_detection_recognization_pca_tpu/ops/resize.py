@@ -115,10 +115,13 @@ def _interp_matrix(src: int, dst: int, dtype) -> np.ndarray:
 
 @functools.lru_cache(maxsize=256)
 def _interp_matrices(sh: int, sw: int, dh: int, dw: int, dtype_name: str):
+    # Cache host (NumPy) arrays only: jnp constants created while
+    # tracing are tracers, and caching one poisons every later call
+    # (jax UnexpectedTracerError).  Conversion happens per call site.
     dtype = np.dtype(dtype_name)
     return (
-        jnp.asarray(_interp_matrix(sh, dh, dtype)),
-        jnp.asarray(_interp_matrix(sw, dw, dtype).T),
+        _interp_matrix(sh, dh, dtype),
+        np.ascontiguousarray(_interp_matrix(sw, dw, dtype).T),
     )
 
 
@@ -133,6 +136,7 @@ def resize_bilinear(img: jnp.ndarray, dsize: Tuple[int, int], dtype=jnp.float32)
     sh, sw = img.shape[-2], img.shape[-1]
     dtype = jnp.dtype(dtype)
     wy, wxt = _interp_matrices(sh, sw, dh, dw, dtype.name)
+    wy, wxt = jnp.asarray(wy), jnp.asarray(wxt)
     x = img.astype(dtype)
     out = jnp.einsum(
         "ps,...sw,wq->...pq", wy, x, wxt, preferred_element_type=dtype

@@ -1,0 +1,137 @@
+"""Haar engine oracles.
+
+The reference's shipped detection JSONs carry no real box geometry
+(every record has x=y=0: they were backfilled from crop filenames by
+``generate_detection_json.py``, and their source videos are not
+shipped), and this deployment's cv2 5.0 wheel has no CascadeClassifier.
+So the box-level oracle is built the same way as the HOG/LBP oracles:
+an independent NumPy float64 implementation of the full 25-stage stump
+cascade, written in this test from the OpenCV algorithm (window
+normalization ``nf = sqrt(area*sqsum - sum^2)``, stump test
+``rectsum < t * nf``, per-stage sum thresholds), evaluated densely on
+real video pixels and compared window-for-window with the fused TPU
+program.  A second test pins fused-vs-per-level engine equality and
+the dispatch-count contract on a real frame.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def numpy_cascade_accepts(gray, cascade, step=2):
+    """All windows of one pyramid level through every stage, float64."""
+    f = np.asarray(gray, dtype=np.float64)
+    h, w = f.shape
+    wh, ww = cascade.window_size
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = f.cumsum(0).cumsum(1)
+    sqintegral = np.zeros((h + 1, w + 1))
+    sqintegral[1:, 1:] = (f * f).cumsum(0).cumsum(1)
+    ny = (h - wh) // step + 1
+    nx = (w - ww) // step + 1
+
+    def rect_sum(ii, x, y, rw, rh):
+        ys = np.arange(ny) * step
+        xs = np.arange(nx) * step
+        Y, X = np.meshgrid(ys, xs, indexing="ij")
+        return (
+            ii[Y + y + rh, X + x + rw]
+            - ii[Y + y + rh, X + x]
+            - ii[Y + y, X + x + rw]
+            + ii[Y + y, X + x]
+        )
+
+    area = (wh - 2) * (ww - 2)
+    s1 = rect_sum(integral, 1, 1, ww - 2, wh - 2)
+    s2 = rect_sum(sqintegral, 1, 1, ww - 2, wh - 2)
+    nf2 = area * s2 - s1 * s1
+    nf = np.where(nf2 > 0, np.sqrt(np.maximum(nf2, 0)), 1.0)
+
+    passed = np.ones((ny, nx), dtype=bool)
+    for si in range(cascade.n_stages):
+        stage_sum = np.zeros((ny, nx))
+        for s in range(
+            cascade.stage_offsets[si], cascade.stage_offsets[si + 1]
+        ):
+            val = np.zeros((ny, nx))
+            for (x, y, rw, rh, wt) in cascade.rects[cascade.stump_feature[s]]:
+                if wt == 0.0:
+                    continue
+                val += wt * rect_sum(
+                    integral, int(x), int(y), int(rw), int(rh)
+                )
+            stage_sum += np.where(
+                val < cascade.stump_threshold[s] * nf,
+                cascade.leaf0[s],
+                cascade.leaf1[s],
+            )
+        passed &= stage_sum >= cascade.stage_thresholds[si]
+    ys, xs = np.nonzero(passed)
+    return {(int(x) * step, int(y) * step) for y, x in zip(ys, xs)}
+
+
+@pytest.fixture(scope="module")
+def face_region(reference_root):
+    """Real pixels: test.mp4 frame 0 downscaled 0.11x so the ~219 px
+    face lands at ~24 px -- the cascade base size, where the full
+    25-stage cascade accepts windows at this level (verified: one
+    accept at (40, 22))."""
+    import cv2
+
+    from face_detection_recognization_pca_tpu.io.video import VideoReader
+
+    r = VideoReader(os.path.join(reference_root, "videos/test.mp4"))
+    frame = next(iter(r.frames()))
+    r.close()
+    gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+    return cv2.resize(gray, None, fx=0.11, fy=0.11)
+
+
+def test_fused_program_matches_numpy_cascade(face_region):
+    """Window-for-window full-cascade parity of the fused single-level
+    program against the independent float64 NumPy implementation."""
+    import jax.numpy as jnp
+
+    from face_detection_recognization_pca_tpu.detect import haar
+
+    cascade = haar.load_cascade()
+    h, w = face_region.shape
+    levels = ((1.0, h, w, 2),)
+    fn_one, _ = haar._make_pyramid_fn(cascade, levels, prefilter_stages=5)
+    ok, cx, cy, lid, na, nb1 = fn_one(
+        jnp.asarray(face_region.astype(np.float32))
+    )
+    ok = np.asarray(ok)
+    got = {
+        (int(x), int(y))
+        for x, y, o in zip(np.asarray(cx), np.asarray(cy), ok)
+        if o
+    }
+    want = numpy_cascade_accepts(face_region, cascade, step=2)
+    assert want, "oracle found no accepts -- fixture region is wrong"
+    assert got == want
+
+
+def test_fused_engine_equals_per_level_engine(face_region):
+    """Same final detections from the 1-dispatch-per-chunk fused path
+    and the per-level path, on real pixels, with the dispatch-count
+    contract (>=5x fewer device round-trips)."""
+    import cv2
+
+    from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
+
+    big = cv2.resize(face_region, (256, 192))  # multi-level pyramid
+    det = HaarDetector()
+    fused = det.detect_multi_scale(big, min_size=(24, 24))
+    fused_dispatches = det.last_dispatches
+    det.fused_pyramid = False
+    legacy = det.detect_multi_scale(big, min_size=(24, 24))
+    legacy_dispatches = det.last_dispatches
+    assert fused == legacy
+    assert fused, "no detections on the real face region"
+    assert fused_dispatches * 5 <= legacy_dispatches + 25
+    # The per-level engine pays ~2 round-trips per level (resize +
+    # eval); the fused one pays 1 per ~5-level chunk.
+    assert fused_dispatches <= (legacy_dispatches + 4) // 5
