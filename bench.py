@@ -12,6 +12,13 @@ import sys
 
 
 def main() -> int:
+    # Persistent compile cache: the Haar pyramid chunk programs are
+    # large; caching them makes every bench run after the first cheap.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fdrp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from face_detection_recognization_pca_tpu.bench import run_bench
 
     streams = int(sys.argv[1]) if len(sys.argv) > 1 else 16

@@ -192,6 +192,93 @@ def _make_bench_scan(corr_fn):
     return _bench_scan
 
 
+def bench_full_frame_detect(
+    batch: int = 8,
+    size: str = "544p",
+    n_templates: int = 8,
+    iters: int = 5,
+    seed: int = 3,
+) -> dict:
+    """Full-frame fused-NCC detection throughput (the v4 live detector,
+    every template x scale over the WHOLE frame -- not the guided
+    window).  Frames are generated on device; the measured path is
+    :meth:`TemplateDetector.detect_fused_batch` end to end (device
+    dispatches + host box selection), i.e. what ``scan --multi
+    --batched`` pays per frame for detection."""
+    from face_detection_recognization_pca_tpu.detect.template import (
+        TemplateBank,
+        TemplateDetector,
+    )
+
+    h, w = SIZES[size]
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float32) / 128
+    tpl = (
+        140
+        + 60 * np.sin(6.28 * yy * 2.1)
+        + 40 * np.cos(6.28 * xx * 1.7)
+    ).astype(np.float32)
+    templates = [
+        (f"p{i % 4}", np.clip(tpl + rng.normal(0, 6, tpl.shape), 0, 255).astype(np.uint8))
+        for i in range(n_templates)
+    ]
+    bank = TemplateBank(templates, canonical_size=(128, 128))
+    det = TemplateDetector(bank)
+
+    @jax.jit
+    def _gen():
+        fr = 110.0 + 25.0 * jax.random.normal(
+            jax.random.PRNGKey(seed), (batch, h, w), jnp.float32
+        )
+        return jax.vmap(
+            lambda f: jax.lax.dynamic_update_slice(
+                f, jnp.asarray(tpl), (h // 2 - 64, w // 2 - 64)
+            )
+        )(fr)
+
+    frames = _gen()
+    jax.block_until_ready(frames)
+    out = det.detect_fused_batch(frames)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = det.detect_fused_batch(frames)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "full_frame_ncc_fps": round(batch / dt, 1),
+        "full_frame_ncc_ms_per_frame": round(dt / batch * 1e3, 3),
+        "full_frame_ncc_size": size,
+        "full_frame_ncc_templates": n_templates,
+        "full_frame_ncc_detected": sum(1 for d in out if d),
+    }
+
+
+def bench_haar(
+    batch: int = 4, size: str = "544p", iters: int = 3, seed: int = 5
+) -> dict:
+    """Full-frame Haar detectMultiScale throughput: the fused
+    single-program pyramid (6 chunk dispatches/frame-batch) on
+    device-resident frames, host grouping included."""
+    from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
+
+    h, w = SIZES[size]
+    det = HaarDetector()
+    frames = 110.0 + 25.0 * jax.random.normal(
+        jax.random.PRNGKey(seed), (batch, h, w), jnp.float32
+    )
+    jax.block_until_ready(frames)
+    det.detect_multi_scale_batch(frames)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det.detect_multi_scale_batch(frames)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "haar_fps": round(batch / dt, 1),
+        "haar_ms_per_frame": round(dt / batch * 1e3, 3),
+        "haar_size": size,
+        "haar_dispatches_per_batch": det.last_dispatches,
+    }
+
+
 def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
               iters: int = 20, warmup: int = 3) -> dict:
     from face_detection_recognization_pca_tpu.ops.dft_match import (
@@ -243,6 +330,19 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
     t1 = time.perf_counter()
     jax.block_until_ready(fit(train_x))
     train_wall_s = time.perf_counter() - t1
+
+    # Full-frame numbers of record (VERDICT r1: the guided-window fps
+    # alone is too narrow).  Both run entirely from device-resident
+    # frames; compile cost is excluded from the timed loop.
+    extra: dict = {}
+    try:
+        extra.update(bench_full_frame_detect())
+    except Exception as e:  # pragma: no cover - report, don't fail bench
+        extra["full_frame_ncc_error"] = repr(e)[:200]
+    try:
+        extra.update(bench_haar())
+    except Exception as e:  # pragma: no cover
+        extra["haar_error"] = repr(e)[:200]
     return {
         "metric": f"recognized {size} frames/sec/chip (fused guided detect+project+match, {streams} streams)",
         "value": round(float(fps), 1),
@@ -256,5 +356,6 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
             "min_tm_conf": round(float(tm_conf.min()), 4),
             "pca_train_wall_s_969x4096_k100": round(train_wall_s, 4),
             "device": str(jax.devices()[0]),
+            **extra,
         },
     }

@@ -616,8 +616,13 @@ class HaarDetector:
     ) -> List[List[Tuple[int, int, int, int]]]:
         """Batched detectMultiScale: ``(B, H, W)`` frames, ONE device
         dispatch for the whole batch across all pyramid levels (same
-        detections as the per-level path; grouping still per frame)."""
-        grays = np.asarray(grays)
+        detections as the per-level path; grouping still per frame).
+
+        ``grays`` may be a jax array already resident on device (no
+        host->device copy happens then -- the bench path pre-stages
+        frames in HBM because the tunnel moves ~13 MB/s)."""
+        if not isinstance(grays, jnp.ndarray):
+            grays = np.asarray(grays)
         nb, h, w = grays.shape
         wh, ww = self.cascade.window_size
         levels = _pyramid_levels(
@@ -630,7 +635,11 @@ class HaarDetector:
                 grays, levels, min_neighbors
             )
 
-        frames_j = jnp.asarray(grays.astype(np.float32))
+        frames_j = (
+            grays.astype(jnp.float32)
+            if isinstance(grays, jnp.ndarray)
+            else jnp.asarray(grays.astype(np.float32))
+        )
         chunk = max(1, self.pyramid_chunk)
         raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
         dispatches = 0
@@ -690,7 +699,11 @@ class HaarDetector:
         nb, h, w = grays.shape
         wh, ww = self.cascade.window_size
         raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
-        frames_j = jnp.asarray(grays.astype(np.float32))
+        frames_j = (
+            grays.astype(jnp.float32)
+            if isinstance(grays, jnp.ndarray)
+            else jnp.asarray(grays.astype(np.float32))
+        )
         dispatches = 0
         for (factor, sh, sw, step) in levels:
             win_w = int(round(ww * factor))

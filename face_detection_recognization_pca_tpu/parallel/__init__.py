@@ -18,6 +18,10 @@ Sequence/pipeline/expert parallelism have no analog in this workload
 streams and gallery size.
 """
 
+from face_detection_recognization_pca_tpu.parallel.distributed import (  # noqa: F401
+    global_mesh,
+    initialize_multihost,
+)
 from face_detection_recognization_pca_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
 )

@@ -70,6 +70,18 @@ def main(argv=None) -> int:
     )
     s.add_argument("--multi", action="store_true", help="multi-model scan on --video")
     s.add_argument(
+        "--batched",
+        action="store_true",
+        help="with --multi: frame-batched detection + size-grouped PCA "
+        "verification (TPU throughput mode; same records)",
+    )
+    s.add_argument(
+        "--batch-frames",
+        type=int,
+        default=None,
+        help="frames per device batch for --batched",
+    )
+    s.add_argument(
         "--haar-multi",
         action="store_true",
         help="Haar detection + all-model verification (v3 mode)",
@@ -309,6 +321,19 @@ def main(argv=None) -> int:
         elif args.live:
             results = scan_multimodel(
                 0, args.lock_dir, args.output, cfg, args.max_frames
+            )
+        elif args.multi and args.batched:
+            from face_detection_recognization_pca_tpu.pipeline.scan_app import (
+                scan_multimodel_batched,
+            )
+
+            results = scan_multimodel_batched(
+                args.video,
+                args.lock_dir,
+                args.output,
+                cfg,
+                args.max_frames,
+                batch_frames=args.batch_frames,
             )
         elif args.multi:
             results = scan_multimodel(

@@ -431,6 +431,144 @@ def scan_enhanced_video(
     return results
 
 
+def scan_multimodel_batched(
+    source,
+    lock_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+    max_frames: Optional[int] = None,
+    batch_frames: Optional[int] = None,
+) -> List[dict]:
+    """Batched v4 multi-model video scan (scan-template-v4 semantics at
+    batch granularity, reference ``scan-template-v4.py:321-437``).
+
+    The per-frame path (:func:`scan_multimodel`) pays one device
+    dispatch per frame per scale for detection plus one per crop for
+    PCA verification.  Here a whole frame batch runs through
+    :meth:`~..detect.template.TemplateDetector.detect_fused_batch`
+    (one dispatch per scale for the batch) and every crop of the batch
+    is verified in :meth:`~..recognize.engine.MultiModelRecognizer.
+    recognize_batch` grouped by box size (the fused detector emits only
+    ``len(template_scales)`` distinct sizes, so PCA verification is
+    ~3 dispatches per batch regardless of frame count).  Arbitration,
+    fusion, overlay, and the record schema are identical to the
+    per-frame path.
+    """
+    import cv2
+
+    cfg = config or PipelineConfig()
+    lock = lock_dir or cfg.paths.lock_dir
+    stack = ModelStack.from_lock_dir(lock)
+    recognizer = MultiModelRecognizer(stack, cfg.recognize)
+    bank = TemplateBank.from_person_dirs(
+        lock, per_person=cfg.detect.templates_per_person
+    )
+    detector = TemplateDetector(bank, cfg.detect)
+    nb = batch_frames or cfg.video.batch_frames
+
+    reader = VideoReader(source)
+    meta = reader.meta
+    writer = (
+        VideoWriter(output_path, (meta.width, meta.height), meta.fps)
+        if output_path
+        else None
+    )
+    results: List[dict] = []
+    frame_no = 0
+    batch: List[np.ndarray] = []
+
+    def flush(batch_frames_list, first_frame_no):
+        nonlocal results
+        grays = np.stack(
+            [
+                cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+                for f in batch_frames_list
+            ]
+        )
+        dets_per_frame = detector.detect_fused_batch(grays)
+        dets_per_frame = [
+            d[: cfg.detect.max_detections] for d in dets_per_frame
+        ]
+        # Gather every crop of the batch, grouped by box size -> one
+        # recognize_batch dispatch per distinct size.
+        jobs = []  # (frame_idx, det)
+        for bi, dets in enumerate(dets_per_frame):
+            for d in dets:
+                jobs.append((bi, d))
+        pca: dict = {}
+        by_size: dict = {}
+        for ji, (bi, d) in enumerate(jobs):
+            crop = batch_frames_list[bi][
+                d.y : d.y + d.height, d.x : d.x + d.width
+            ]
+            if crop.size:
+                by_size.setdefault(crop.shape, []).append((ji, crop))
+            else:
+                pca[ji] = (-1, UNKNOWN, 0.0)
+        for shape, items in by_size.items():
+            crops = np.stack([c for _, c in items])
+            outs = recognizer.recognize_batch(crops, cfg.recognize.pca_gate)
+            for (ji, _), o in zip(items, outs):
+                pca[ji] = o
+        # Per-frame arbitration + fusion (identical to the scalar path).
+        job_of_frame: dict = {}
+        for ji, (bi, d) in enumerate(jobs):
+            job_of_frame.setdefault(bi, []).append((ji, d))
+        for bi, frame in enumerate(batch_frames_list):
+            frame_jobs = job_of_frame.get(bi, [])
+            if len(frame_jobs) > 1:
+                best_sc, best = -1.0, None
+                for ji, d in frame_jobs:
+                    sc = arbitration_score(
+                        d.width, d.height, pca[ji][2], cfg.recognize
+                    )
+                    if sc > best_sc:
+                        best_sc, best = sc, (ji, d)
+                frame_jobs = [best] if best else []
+            for ji, d in frame_jobs:
+                pid, pname, pconf = pca[ji]
+                final_name, final_conf = fuse_template_pca(
+                    d.person_name, d.confidence, pname, pconf, cfg.recognize
+                )
+                annotate.draw_v4(
+                    frame,
+                    (d.x, d.y, d.width, d.height),
+                    final_name,
+                    d.confidence,
+                    pconf,
+                )
+                results.append(
+                    {
+                        "frame_number": first_frame_no + bi,
+                        "person_name": final_name,
+                        "template_confidence": float(d.confidence),
+                        "pca_confidence": float(pconf),
+                        "final_confidence": float(final_conf),
+                        "x": d.x,
+                        "y": d.y,
+                        "width": d.width,
+                        "height": d.height,
+                    }
+                )
+            if writer:
+                writer.write(frame)
+
+    for frame in reader.frames():
+        if max_frames is not None and frame_no >= max_frames:
+            break
+        batch.append(frame)
+        frame_no += 1
+        if len(batch) >= nb:
+            flush(batch, frame_no - len(batch))
+            batch = []
+    if batch:
+        flush(batch, frame_no - len(batch))
+    reader.close()
+    if writer:
+        writer.close()
+    return results
+
+
 def scan_multimodel(
     source,
     lock_dir: Optional[str] = None,

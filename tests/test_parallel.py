@@ -93,3 +93,46 @@ def test_multichip_train_step_2x4(rng, devices8):
     np.testing.assert_array_equal(np.asarray(ids), np.zeros(4))
     assert np.asarray(conf).min() > 0.999
     assert np.all(np.diff(np.asarray(eigval)) <= 1e-9)  # descending
+
+
+def test_initialize_multihost_noop_without_coordinator(monkeypatch):
+    """Single-host: no coordinator env -> graceful no-op, never init."""
+    from face_detection_recognization_pca_tpu.parallel import distributed
+
+    for var in (
+        "FDRP_COORDINATOR",
+        "JAX_COORDINATOR_ADDRESS",
+        "FDRP_MULTIHOST",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.initialize_multihost() is False
+
+
+def test_global_mesh_topology_rule():
+    """Outer axis = data (DCN-crossing), inner = model (ICI); model
+    axis may not exceed the local device count."""
+    import jax
+    import pytest as _pytest
+
+    from face_detection_recognization_pca_tpu.parallel.distributed import (
+        global_mesh,
+    )
+
+    mesh = global_mesh(data=2, model=4)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (2, 4)
+    with _pytest.raises(ValueError, match="ICI"):
+        global_mesh(model=jax.local_device_count() * 2)
+
+
+def test_dryrun_multichip_n_hosts_graceful(capsys):
+    """dryrun_multichip(8, n_hosts=2) on one host: says so, still runs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, n_hosts=2)
+    out = capsys.readouterr().out
+    assert "continuing single-host" in out
+    assert "dryrun_multichip OK" in out
