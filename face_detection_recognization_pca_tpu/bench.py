@@ -193,7 +193,7 @@ def _make_bench_scan(corr_fn):
 
 
 def bench_full_frame_detect(
-    batch: int = 8,
+    batch: int = 16,
     size: str = "544p",
     n_templates: int = 8,
     iters: int = 5,
@@ -253,30 +253,142 @@ def bench_full_frame_detect(
 
 
 def bench_haar(
-    batch: int = 4, size: str = "544p", iters: int = 3, seed: int = 5
+    batch: int = 8, size: str = "544p", iters: int = 3, seed: int = 5
 ) -> dict:
     """Full-frame Haar detectMultiScale throughput: the fused
-    single-program pyramid (6 chunk dispatches/frame-batch) on
-    device-resident frames, host grouping included."""
+    single-program pyramid (6 chunk dispatches + 1 packed download per
+    frame-batch) on device-resident frames, host grouping included.
+
+    Frames are REAL video pixels when the reference videos are present
+    (pure noise has pathological phase-A survivor counts that trigger
+    capacity retries real footage never does); synthetic fallback
+    otherwise."""
+    import os
+
     from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
 
     h, w = SIZES[size]
     det = HaarDetector()
-    frames = 110.0 + 25.0 * jax.random.normal(
-        jax.random.PRNGKey(seed), (batch, h, w), jnp.float32
-    )
+    ref_video = "/root/reference/videos/test.mp4"
+    source = "synthetic"
+    if os.path.exists(ref_video):
+        try:
+            import cv2
+
+            from face_detection_recognization_pca_tpu.io.video import (
+                VideoReader,
+            )
+
+            r = VideoReader(ref_video)
+            fs = []
+            for i, f in enumerate(r.frames()):
+                if i >= batch:
+                    break
+                g = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+                fs.append(cv2.resize(g, (w, h)).astype(np.float32))
+            r.close()
+            frames = jnp.asarray(np.stack(fs))
+            source = "test.mp4"
+        except Exception:
+            frames = None
+    if source == "synthetic":
+        frames = 110.0 + 25.0 * jax.random.normal(
+            jax.random.PRNGKey(seed), (batch, h, w), jnp.float32
+        )
     jax.block_until_ready(frames)
     det.detect_multi_scale_batch(frames)  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        det.detect_multi_scale_batch(frames)
+        out = det.detect_multi_scale_batch(frames)
     dt = (time.perf_counter() - t0) / iters
     return {
         "haar_fps": round(batch / dt, 1),
         "haar_ms_per_frame": round(dt / batch * 1e3, 3),
         "haar_size": size,
+        "haar_frames": source,
+        "haar_detected": sum(1 for d in out if d),
         "haar_dispatches_per_batch": det.last_dispatches,
     }
+
+
+def bench_large_gallery(
+    b: int = 1024, k: int = 128, n: int = 131072, iters: int = 10, seed: int = 9
+) -> dict:
+    """Large-gallery cosine argmax: streaming Pallas kernel vs plain
+    XLA (which materializes the (B, N) cosine matrix in HBM).  This is
+    the regime the kernel targets (docs/DESIGN.md §5): N >= 1e5 rows
+    sharded per chip."""
+    from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
+        gallery_match_pallas,
+    )
+    from face_detection_recognization_pca_tpu.ops.similarity import (
+        cosine_gallery,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    kf, kg = jax.random.split(key)
+    feats = jax.random.normal(kf, (b, k), jnp.float32)
+    gallery = jax.random.normal(kg, (n, k), jnp.float32)
+    gallery_t = gallery.T
+    gnorm = jnp.linalg.norm(gallery, axis=1)
+
+    @jax.jit
+    def xla_match(feats, gallery):
+        scores = cosine_gallery(feats, gallery)
+        return jnp.argmax(scores, axis=1), jnp.max(scores, axis=1)
+
+    def run(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters, out
+
+    t_xla, (ids_x, best_x) = run(xla_match, feats, gallery)
+    t_pl, (ids_p, best_p) = run(
+        lambda f, g, gn: gallery_match_pallas(f, g, gn), feats, gallery_t, gnorm
+    )
+    agree = float(jnp.mean((ids_x == ids_p).astype(jnp.float32)))
+    return {
+        "large_gallery_shape": f"B={b} k={k} N={n}",
+        "large_gallery_xla_ms": round(t_xla * 1e3, 3),
+        "large_gallery_pallas_ms": round(t_pl * 1e3, 3),
+        "large_gallery_pallas_speedup": round(t_xla / t_pl, 2),
+        "large_gallery_crops_per_s": round(b / t_pl, 1),
+        "large_gallery_ids_agree": agree,
+    }
+
+
+def _run_budgeted(fn_name: str, budget_s: int) -> dict:
+    """Run a bench function in a subprocess with a wall-clock budget."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import json, jax; "
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/fdrp_jax_cache'); "
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5); "
+        f"from face_detection_recognization_pca_tpu.bench import {fn_name}; "
+        f"print('FDRP_BENCH:' + json.dumps({fn_name}()))"
+    )
+    key = fn_name.replace("bench_", "")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            timeout=budget_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {f"{key}_skipped": f"exceeded {budget_s}s budget (cold compile)"}
+    for line in proc.stdout.splitlines():
+        if line.startswith("FDRP_BENCH:"):
+            return json.loads(line[len("FDRP_BENCH:") :])
+    return {f"{key}_error": proc.stdout.strip()[-200:]}
 
 
 def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
@@ -333,16 +445,16 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
 
     # Full-frame numbers of record (VERDICT r1: the guided-window fps
     # alone is too narrow).  Both run entirely from device-resident
-    # frames; compile cost is excluded from the timed loop.
+    # frames; compile cost is excluded from the timed loop.  Each runs
+    # in a BUDGETED SUBPROCESS: first-time compiles of the Haar chunk
+    # programs through the remote tunnel can take >10 min, and the
+    # driver's bench invocation must never hang on them -- a budget
+    # miss records a skip marker instead (the persistent compile cache
+    # makes the next run cheap).
     extra: dict = {}
-    try:
-        extra.update(bench_full_frame_detect())
-    except Exception as e:  # pragma: no cover - report, don't fail bench
-        extra["full_frame_ncc_error"] = repr(e)[:200]
-    try:
-        extra.update(bench_haar())
-    except Exception as e:  # pragma: no cover
-        extra["haar_error"] = repr(e)[:200]
+    extra.update(_run_budgeted("bench_full_frame_detect", 420))
+    extra.update(_run_budgeted("bench_haar", 900))
+    extra.update(_run_budgeted("bench_large_gallery", 300))
     return {
         "metric": f"recognized {size} frames/sec/chip (fused guided detect+project+match, {streams} streams)",
         "value": round(float(fps), 1),

@@ -247,8 +247,13 @@ def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
         rows = cy[:, None, None] + dy[None]
         cols = cx[:, None, None] + dx[None]
         patches = integral[rows, cols].reshape(kk, side * side)
+        # HIGHEST: TPU matmuls default to bf16 passes, which destroys
+        # integral-image magnitudes (~1e8) -- detections silently vanish.
         rectsums = jnp.dot(
-            patches, corner, preferred_element_type=jnp.float32
+            patches,
+            corner,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (K, S)
         cand_nf = nf.reshape(-1)[cand]
         vals = jnp.where(
@@ -452,13 +457,23 @@ def _make_pyramid_fn(
         return passed.reshape(-1), nf.reshape(-1), integral
 
     def _stump_stage_test(patches, nf_c, corner_p, st_p, l0_p, l1_p, oh, thr):
+        # HIGHEST: bf16 MXU passes corrupt ~1e8 integral sums (see
+        # _make_level_fn note).
         rectsums = jnp.dot(
-            patches, corner_p, preferred_element_type=jnp.float32
+            patches,
+            corner_p,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         vals = jnp.where(
             rectsums < st_p[None, :] * nf_c[:, None], l0_p[None, :], l1_p[None, :]
         )
-        stage_sums = jnp.dot(vals, oh, preferred_element_type=jnp.float32)
+        stage_sums = jnp.dot(
+            vals,
+            oh,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jnp.all(stage_sums >= thr[None, :], axis=1)
 
     st_mid = jnp.asarray(st[pf_end:mid_end])
@@ -643,49 +658,125 @@ class HaarDetector:
         chunk = max(1, self.pyramid_chunk)
         raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
         dispatches = 0
+        # Phase 1 (device): run every chunk, results stay on device --
+        # the remote tunnel costs ~30-80 ms per transfer, so one packed
+        # download for the whole pyramid beats 5 arrays x 6 chunks.
+        chunk_meta = []  # (c0, n_pool, kk_a, kk_b)
+        device_out = []  # per chunk: (ok, cx, cy, lid, count_a, count_b1)
         for c0 in range(0, len(levels), chunk):
             part = levels[c0 : c0 + chunk]
             n_pool = sum(
                 (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
                 for (_, sh, sw, st) in part
             )
-            ka, kb = self._k_pool_a, self._k_pool_b
-            # Exactness loop: survivor counts are returned, so pool
-            # truncation is *detected*, and the chunk re-runs with
-            # doubled capacity (new program, cached) until exact.
-            while True:
-                fn_one, fn_batch = self._get_pyramid_fn(
-                    part, min(ka, n_pool), min(kb, ka, n_pool)
+            ka = min(self._k_pool_a, n_pool)
+            kb = min(self._k_pool_b, ka)
+            fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
+            outs = (
+                tuple(a[None] for a in fn_one(frames_j[0]))
+                if nb == 1
+                else fn_batch(frames_j)
+            )
+            dispatches += 1
+            chunk_meta.append((c0, n_pool, ka, kb, int(outs[0].shape[1])))
+            device_out.append(outs)
+
+        # One download: candidate slots packed f32 + per-chunk counts.
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            o.astype(jnp.float32),
+                            x_.astype(jnp.float32),
+                            y_.astype(jnp.float32),
+                            (l_ + c0).astype(jnp.float32),
+                        ],
+                        axis=-1,
+                    )
+                    for (c0, *_), (o, x_, y_, l_, _, _) in zip(
+                        chunk_meta, device_out
+                    )
+                ],
+                axis=1,
+            )
+        )  # (B, sum_K, 4)
+        counts = np.asarray(
+            jnp.stack(
+                [
+                    jnp.stack([na, nb1], axis=-1)
+                    for (_, _, _, _, na, nb1) in device_out
+                ],
+                axis=1,
+            )
+        )  # (B, n_chunks, 2)
+
+        # Exactness check: re-run any chunk whose pools truncated with
+        # doubled capacity (new program, cached) until exact.
+        for ci, (c0, n_pool, ka, kb, width) in enumerate(chunk_meta):
+            trunc_a = ka < n_pool and np.any(counts[:, ci, 0] > ka)
+            trunc_b = kb < ka and np.any(counts[:, ci, 1] > kb)
+            while trunc_a or trunc_b:
+                ka = min(ka * 2, n_pool)
+                kb = min(kb * 2, ka)
+                part = levels[c0 : c0 + chunk]
+                fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
+                outs = (
+                    tuple(a[None] for a in fn_one(frames_j[0]))
+                    if nb == 1
+                    else fn_batch(frames_j)
                 )
-                if nb == 1:
-                    o, x_, y_, l_, na, nb1 = (
-                        np.asarray(a)[None] for a in fn_one(frames_j[0])
-                    )
-                else:
-                    o, x_, y_, l_, na, nb1 = (
-                        np.asarray(a) for a in fn_batch(frames_j)
-                    )
                 dispatches += 1
-                kk_a = min(ka, n_pool)
-                kk_b = min(kb, kk_a)
-                trunc_a = kk_a < n_pool and np.any(na > kk_a)
-                trunc_b = kk_b < kk_a and np.any(nb1 > kk_b)
-                if trunc_a or trunc_b:
-                    ka *= 2
-                    kb *= 2
-                    continue
-                break
-            for b in range(nb):
-                for i in np.nonzero(o[b])[0]:
-                    factor = levels[int(l_[b, i]) + c0][0]
-                    raw[b].append(
-                        (
-                            int(round(x_[b, i] * factor)),
-                            int(round(y_[b, i] * factor)),
-                            int(round(ww * factor)),
-                            int(round(wh * factor)),
-                        )
+                o, x_, y_, l_ = outs[:4]
+                packed_redo = np.asarray(
+                    jnp.concatenate(
+                        [
+                            jnp.stack(
+                                [
+                                    o.astype(jnp.float32),
+                                    x_.astype(jnp.float32),
+                                    y_.astype(jnp.float32),
+                                    (l_ + c0).astype(jnp.float32),
+                                ],
+                                axis=-1,
+                            ).reshape(o.shape[0], -1),
+                            jnp.stack([outs[4], outs[5]], axis=-1).astype(
+                                jnp.float32
+                            ),
+                        ],
+                        axis=1,
                     )
+                )
+                redo = packed_redo[:, :-2].reshape(o.shape[0], -1, 4)
+                na = packed_redo[:, -2]
+                nb1 = packed_redo[:, -1]
+                # Replace this chunk's slice in the packed candidates.
+                start = sum(m[4] for m in chunk_meta[:ci])
+                old_k = chunk_meta[ci][4]
+                packed = np.concatenate(
+                    [
+                        packed[:, :start],
+                        redo,
+                        packed[:, start + old_k :],
+                    ],
+                    axis=1,
+                )
+                chunk_meta[ci] = (c0, n_pool, ka, kb, redo.shape[1])
+                trunc_a = ka < n_pool and np.any(na > ka)
+                trunc_b = kb < ka and np.any(nb1 > kb)
+
+        for b in range(nb):
+            sel = packed[b]
+            for i in np.nonzero(sel[:, 0] > 0.5)[0]:
+                factor = levels[int(sel[i, 3])][0]
+                raw[b].append(
+                    (
+                        int(round(sel[i, 1] * factor)),
+                        int(round(sel[i, 2] * factor)),
+                        int(round(ww * factor)),
+                        int(round(wh * factor)),
+                    )
+                )
         self.last_dispatches = dispatches
         return [group_rectangles(r, min_neighbors, eps=0.2) for r in raw]
 

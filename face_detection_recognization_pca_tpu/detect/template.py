@@ -162,18 +162,30 @@ def _fused_score_maps(
     f = f - jnp.mean(f, axis=(1, 2), keepdims=True)
     b, h, w = f.shape
     out_h, out_w = h - th + 1, w - tw + 1
-    # 5-smooth FFT sizes: arbitrary resize dims (e.g. 680 = 8*5*17,
-    # 453 = 3*151) fall onto Bluestein-slow TPU FFT paths; zero-padding
-    # to the next smooth length leaves all valid correlation shifts
-    # untouched (pad >= template overhang).
-    from face_detection_recognization_pca_tpu.ops.match import _next_fast_len
+    if jax.default_backend() == "tpu":
+        # TPU FFT butterflies are VPU-bound (measured ~2.3 s for a
+        # 16-frame 544p batch vs ~tens of ms as matmuls): run the
+        # correlation as dense MXU-DFT products instead.
+        from face_detection_recognization_pca_tpu.ops.dft_match import (
+            dft_correlate_valid,
+        )
 
-    h2, w2 = _next_fast_len(h), _next_fast_len(w)
-    ff = jnp.fft.rfft2(f, (h2, w2))  # (B, H2, W2f)
-    kf = jnp.conj(jnp.fft.rfft2(t0, (h2, w2)))  # (T, H2, W2f)
-    num = jnp.fft.irfft2(ff[:, None] * kf[None], (h2, w2))[
-        :, :, :out_h, :out_w
-    ]
+        num = dft_correlate_valid(f, t0, out_h, out_w)
+    else:
+        # 5-smooth FFT sizes: arbitrary resize dims (e.g. 680 = 8*5*17,
+        # 453 = 3*151) fall onto Bluestein-slow FFT paths; zero-padding
+        # to the next smooth length leaves valid correlation shifts
+        # untouched (pad >= template overhang).
+        from face_detection_recognization_pca_tpu.ops.match import (
+            _next_fast_len,
+        )
+
+        h2, w2 = _next_fast_len(h), _next_fast_len(w)
+        ff = jnp.fft.rfft2(f, (h2, w2))  # (B, H2, W2f)
+        kf = jnp.conj(jnp.fft.rfft2(t0, (h2, w2)))  # (T, H2, W2f)
+        num = jnp.fft.irfft2(ff[:, None] * kf[None], (h2, w2))[
+            :, :, :out_h, :out_w
+        ]
 
     def band(src: int, out: int, win: int):
         jj = jax.lax.broadcasted_iota(jnp.int32, (src, out), 0)
@@ -182,11 +194,24 @@ def _fused_score_maps(
 
     by = band(h, out_h, th)
     bx = band(w, out_w, tw)
+    # HIGHEST: the window variance is a ~1000:1 cancellation of these
+    # two statistics; bf16 MXU passes (the TPU default) turn it into
+    # noise even after global-mean centering.
     s1 = jnp.einsum(
-        "bhw,hy,wx->byx", f, by, bx, preferred_element_type=jnp.float32
+        "bhw,hy,wx->byx",
+        f,
+        by,
+        bx,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     s2 = jnp.einsum(
-        "bhw,hy,wx->byx", f * f, by, bx, preferred_element_type=jnp.float32
+        "bhw,hy,wx->byx",
+        f * f,
+        by,
+        bx,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     n = th * tw
     win_var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)
@@ -258,6 +283,37 @@ def _validity_mask(
     return ~rej.reshape(out_h, out_w)
 
 
+@functools.partial(jax.jit, static_argnames=("sizes", "th_", "tw_"))
+def _fused_all_scales(frames, t0, energy, masks, sizes, th_, tw_):
+    """Every scale's resize + fused score maps + per-template argmax in
+    ONE program; returns packed (S, 3, B, T) [best, x, y]."""
+    outs = []
+    for (rw, rh), mask in zip(sizes, masks):
+        resized = resize_bilinear(frames, (rw, rh), jnp.float32)
+        best, xs, ys = _fused_best_per_template(
+            resized, t0, energy, mask, th_, tw_
+        )
+        outs.append(
+            jnp.stack([best, xs.astype(jnp.float32), ys.astype(jnp.float32)])
+        )
+    return jnp.stack(outs)
+
+
+_DEVICE_MASKS: dict = {}
+
+
+def _validity_mask_device(*key) -> jnp.ndarray:
+    """Device-resident cache of :func:`_validity_mask`: the ~0.5 MB
+    bool mask was re-uploaded through the tunnel on every call (30+ ms
+    each); upload once per geometry and reuse the device buffer."""
+    if key not in _DEVICE_MASKS:
+        arr = jnp.asarray(_validity_mask(*key))
+        if isinstance(arr, jax.core.Tracer):  # called under a trace:
+            return arr  # never cache tracers (see ops/resize.py lesson)
+        _DEVICE_MASKS[key] = arr
+    return _DEVICE_MASKS[key]
+
+
 class TemplateDetector:
     """Multi-person multi-scale detector with reference v4 semantics."""
 
@@ -297,6 +353,16 @@ class TemplateDetector:
         best_scale = np.ones((nb, n_persons))
         pid = np.asarray(self.bank.template_person)
 
+        frames_j = (
+            frames_gray.astype(jnp.float32)
+            if isinstance(frames_gray, jnp.ndarray)
+            else jnp.asarray(np.asarray(frames_gray, dtype=np.float32))
+        )
+        # Device part: ALL scales inside one jitted program (per-scale
+        # dispatches + per-scale downloads through the remote tunnel
+        # cost ~30-80 ms each and dominated the per-batch time); ONE
+        # packed (S, 3, B, T) download carries every result back.
+        scale_meta = []  # (scale, box_w, box_h, mask, rw, rh)
         for scale in cfg.template_scales:
             box_w = int(tw * scale)
             box_h = int(th * scale)
@@ -309,28 +375,38 @@ class TemplateDetector:
                 continue
             rw = max(int(round(fw / scale)), tw + 1)
             rh = max(int(round(fh / scale)), th + 1)
-            resized = resize_bilinear(
-                jnp.asarray(frames_gray), (rw, rh), dtype=jnp.float32
+            mask = _validity_mask_device(
+                rh - th + 1,
+                rw - tw + 1,
+                box_w,
+                box_h,
+                fw,
+                fh,
+                cfg.corner_threshold,
+                cfg.border_threshold,
+                scale,
             )
-            mask = jnp.asarray(
-                _validity_mask(
-                    rh - th + 1,
-                    rw - tw + 1,
-                    box_w,
-                    box_h,
-                    fw,
-                    fh,
-                    cfg.corner_threshold,
-                    cfg.border_threshold,
-                    scale,
-                )
+            scale_meta.append((scale, box_w, box_h, mask, rw, rh))
+        if not scale_meta:
+            return [[] for _ in range(nb)]
+
+        sizes = tuple((rw, rh) for (_, _, _, _, rw, rh) in scale_meta)
+        packed = np.asarray(
+            _fused_all_scales(
+                frames_j,
+                t0,
+                energy,
+                tuple(m[3] for m in scale_meta),
+                sizes,
+                th,
+                tw,
             )
-            best, xs, ys = _fused_best_per_template(
-                resized, t0, energy, mask, th, tw
-            )
-            best = np.asarray(best)  # (B, T)
-            xs = np.asarray(xs)
-            ys = np.asarray(ys)
+        )
+
+        for si, (scale, box_w, box_h, _, _, _) in enumerate(scale_meta):
+            best = packed[si, 0]  # (B, T)
+            xs = packed[si, 1]
+            ys = packed[si, 2]
             for b in range(nb):
                 for t in range(best.shape[1]):
                     p = pid[t]

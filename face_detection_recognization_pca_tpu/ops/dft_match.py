@@ -26,17 +26,19 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=32)
-def _dft_mats(n: int, out: int):
+def _dft_mats_np(n: int, out: int):
+    # Host arrays only -- caching jnp constants created under a trace
+    # poisons the cache with tracers (see ops/resize.py).
     k = np.arange(n)
     ang = 2.0 * np.pi * np.outer(k, k) / n
     c = np.cos(ang).astype(np.float32)
     s = np.sin(ang).astype(np.float32)
-    return (
-        jnp.asarray(c),
-        jnp.asarray(s),
-        jnp.asarray(c[:out]),
-        jnp.asarray(s[:out]),
-    )
+    return c, s, np.ascontiguousarray(c[:out]), np.ascontiguousarray(s[:out])
+
+
+def _dft_mats(n: int, out: int):
+    c, s, co, so = _dft_mats_np(n, out)
+    return jnp.asarray(c), jnp.asarray(s), jnp.asarray(co), jnp.asarray(so)
 
 
 def make_circular_correlator(
@@ -92,3 +94,68 @@ def make_circular_correlator(
         return out_re * inv_n2
 
     return corr
+
+
+def dft_correlate_valid(
+    frames: jnp.ndarray,  # (B, H, W) real
+    kernels: jnp.ndarray,  # (T, th, tw) real, th <= H, tw <= W
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """Valid 2-D cross-correlation of a frame batch with T kernels as
+    dense MXU-DFT matmuls: ``(B, T, out_h, out_w)``.
+
+    Circular correlation at the frame's own size is alias-free for all
+    valid shifts (``out_h = H - th + 1`` rows never see wraparound), so
+    no padding is needed.  This is the full-frame generalization of
+    :func:`make_circular_correlator`: TPU ``jnp.fft`` butterflies are
+    VPU-bound and measured ~100x slower than the equivalent dense
+    cos/sin matmuls at 544p (the same finding that shaped the guided
+    bench kernel -- see module docstring).  The kernel spectra are
+    computed on device with the same matrices (they change per call:
+    template banks are data, not constants).
+    """
+    f = frames.astype(jnp.float32)
+    b, h, w = f.shape
+    t, th, tw = kernels.shape
+    assert out_h <= h - th + 1 and out_w <= w - tw + 1
+    ch, sh, ch_o, sh_o = _dft_mats(h, out_h)
+    cw, sw, cw_o, sw_o = _dft_mats(w, out_w)
+    kpad = jnp.zeros((t, h, w), jnp.float32).at[:, :th, :tw].set(
+        kernels.astype(jnp.float32)
+    )
+
+    def fwd(x):  # real (N, h, w) -> (Fr, Fi) under D = C - iS per axis
+        p = jnp.einsum("kn,bnm->bkm", ch, x, preferred_element_type=jnp.float32)
+        q = jnp.einsum("kn,bnm->bkm", sh, x, preferred_element_type=jnp.float32)
+        fr = (
+            jnp.einsum("bkm,lm->bkl", p, cw, preferred_element_type=jnp.float32)
+            - jnp.einsum("bkm,lm->bkl", q, sw, preferred_element_type=jnp.float32)
+        )
+        fi = -(
+            jnp.einsum("bkm,lm->bkl", p, sw, preferred_element_type=jnp.float32)
+            + jnp.einsum("bkm,lm->bkl", q, cw, preferred_element_type=jnp.float32)
+        )
+        return fr, fi
+
+    fr, fi = fwd(f)  # (B, h, w)
+    kr, ki = fwd(kpad)  # (T, h, w)
+    # Y = F . conj(K) over the (B, T) outer product.
+    yr = fr[:, None] * kr[None] + fi[:, None] * ki[None]
+    yi = fi[:, None] * kr[None] - fr[:, None] * ki[None]
+    yr = yr.reshape(b * t, h, w)
+    yi = yi.reshape(b * t, h, w)
+    # Inverse truncated to the valid rows/cols: Re((C + iS) Y (C + iS)^T) / (h w).
+    lr = (
+        jnp.einsum("kn,bnm->bkm", ch_o, yr, preferred_element_type=jnp.float32)
+        - jnp.einsum("kn,bnm->bkm", sh_o, yi, preferred_element_type=jnp.float32)
+    )
+    li = (
+        jnp.einsum("kn,bnm->bkm", ch_o, yi, preferred_element_type=jnp.float32)
+        + jnp.einsum("kn,bnm->bkm", sh_o, yr, preferred_element_type=jnp.float32)
+    )
+    out = (
+        jnp.einsum("bkm,lm->bkl", lr, cw_o, preferred_element_type=jnp.float32)
+        - jnp.einsum("bkm,lm->bkl", li, sw_o, preferred_element_type=jnp.float32)
+    )
+    return out.reshape(b, t, out_h, out_w) / (h * w)

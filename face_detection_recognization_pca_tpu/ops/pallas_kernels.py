@@ -224,6 +224,119 @@ def fused_match_pallas(
     return ids[:, 0], conf[:, 0]
 
 
+# ---------------------------------------------------------------------------
+# Large-gallery streaming kernel
+# ---------------------------------------------------------------------------
+
+
+def _gallery_match_kernel(
+    feats_ref,  # (TB, k) crop features (already projected)
+    fnorm_ref,  # (TB, 1) feature L2 norms
+    gallery_t_ref,  # (k, TN) one gallery tile
+    gnorm_ref,  # (1, TN) tile row norms (0 for padded rows)
+    best_ref,  # (TB, 1) f32 out: running best cosine
+    idx_ref,  # (TB, 1) i32 out: running argmax row
+):
+    j = pl.program_id(1)
+    tn = gallery_t_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, -jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    dots = jnp.dot(
+        feats_ref[:], gallery_t_ref[:], preferred_element_type=jnp.float32
+    )
+    denom = fnorm_ref[:] * gnorm_ref[0][None, :]
+    safe = denom > 0.0
+    # Matches ops.similarity.cosine_gallery: zero-norm pairs score 0.
+    # Rows with SENTINEL norm < 0 (padding/invalid) score -inf.
+    cos = jnp.where(
+        safe,
+        dots / jnp.where(safe, denom, 1.0),
+        jnp.where(denom < 0.0, -jnp.inf, 0.0),
+    )
+    local_best = jnp.max(cos, axis=1)
+    local_idx = jnp.argmax(cos, axis=1).astype(jnp.int32) + j * tn
+    # Strict > keeps the FIRST maximum across tiles -- row-major
+    # first-occurrence tie-breaking, same as the reference's argmax.
+    upd = local_best > best_ref[:, 0]
+    best_ref[:, 0] = jnp.where(upd, local_best, best_ref[:, 0])
+    idx_ref[:, 0] = jnp.where(upd, local_idx, idx_ref[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "tile_n", "interpret"))
+def gallery_match_pallas(
+    feats: jnp.ndarray,  # (B, k)
+    gallery_t: jnp.ndarray,  # (k, N)
+    gallery_norm: jnp.ndarray,  # (N,) -- 0 marks padded rows
+    tile_b: int = 256,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming cosine argmax against a LARGE gallery.
+
+    The plain-XLA path materializes the full ``(B, N)`` cosine matrix in
+    HBM (the dot is a library matmul; the max/argmax reductions read it
+    back), i.e. ~3 HBM passes over ``B x N`` floats.  Here each gallery
+    tile is read once into VMEM and only the running ``(best, idx)``
+    pair (8 bytes/crop) ever leaves -- at N >= 1e5 this is the
+    difference between bandwidth-bound and compute-bound, and it is the
+    per-shard inner loop of :func:`..parallel.sharding.
+    sharded_gallery_match` for sharded galleries.
+
+    ``B % tile_b == 0``, ``N % tile_n == 0``.  ``gallery_norm`` doubles
+    as the validity channel: pass the true row norm for valid rows and
+    any NEGATIVE sentinel for padded/invalid rows (they score -inf and
+    never win); a *valid* zero-norm row scores 0, exactly like
+    :func:`..ops.similarity.cosine_gallery`.
+    """
+    b, k = feats.shape
+    n = gallery_t.shape[1]
+    assert b % tile_b == 0 and n % tile_n == 0, (b, tile_b, n, tile_n)
+    fnorm = jnp.linalg.norm(feats, axis=1, keepdims=True)
+    grid = (b // tile_b, n // tile_n)
+    best, idx = pl.pallas_call(
+        _gallery_match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=4 * (b * k + k * n + 2 * b),
+            transcendentals=0,
+        ),
+    )(
+        feats.astype(jnp.float32),
+        fnorm.astype(jnp.float32),
+        gallery_t.astype(jnp.float32),
+        gallery_norm.reshape(1, -1).astype(jnp.float32),
+    )
+    return idx[:, 0], best[:, 0]
+
+
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 

@@ -22,8 +22,9 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 _COEF_BITS = 11
 _COEF_SCALE = 1 << _COEF_BITS  # 2048
@@ -138,7 +139,15 @@ def resize_bilinear(img: jnp.ndarray, dsize: Tuple[int, int], dtype=jnp.float32)
     wy, wxt = _interp_matrices(sh, sw, dh, dw, dtype.name)
     wy, wxt = jnp.asarray(wy), jnp.asarray(wxt)
     x = img.astype(dtype)
+    # HIGHEST precision: bf16 MXU passes (the TPU default) perturb
+    # resized pixels by ~0.4% -- enough to flip Haar stump comparisons
+    # against the CPU-f32 oracle.
     out = jnp.einsum(
-        "ps,...sw,wq->...pq", wy, x, wxt, preferred_element_type=dtype
+        "ps,...sw,wq->...pq",
+        wy,
+        x,
+        wxt,
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out

@@ -64,12 +64,21 @@ def sharded_gallery_match(
     labels: jnp.ndarray,  # (N,)
     threshold: float = 0.7,
     model_axis: str = "model",
+    use_pallas: bool = None,
+    pallas_threshold: int = 32768,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cosine match against a gallery sharded across chips.
 
     The tensor-parallel analog for galleries too large for one chip's
     HBM: each device scores its gallery shard, then a max/argmax
     combine over the ``model`` axis picks the global winner.
+
+    Per-shard inner loop: for large shards on TPU (>=
+    ``pallas_threshold`` rows) the streaming Pallas kernel
+    (:func:`..ops.pallas_kernels.gallery_match_pallas`) scores the
+    shard without materializing the (B, shard_n) cosine matrix in HBM;
+    small shards and CPU test meshes use the plain-XLA path (identical
+    results, first-occurrence tie-breaking in both).
 
     Returns (person_ids (B,), confidences (B,)).
     """
@@ -81,16 +90,50 @@ def sharded_gallery_match(
         labels = jnp.pad(labels, (0, pad), constant_values=-1)
         n = gallery.shape[0]
     shard_n = n // n_shards
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and shard_n >= pallas_threshold
+        )
+
+    def _local_match_pallas(feats, gal, lab):
+        from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
+            gallery_match_pallas,
+        )
+
+        b = feats.shape[0]
+        tile_b = min(256, b) if b % 256 else 256
+        bpad = -(-b // tile_b) * tile_b
+        tile_n = 2048 if shard_n >= 2048 else shard_n
+        npad = -(-shard_n // tile_n) * tile_n
+        f = jnp.pad(feats, ((0, bpad - b), (0, 0)))
+        g = jnp.pad(gal, ((0, npad - shard_n), (0, 0)))
+        gnorm = jnp.linalg.norm(g, axis=1)
+        # Invalid rows (global pad, labels -1) must never win: zero
+        # their norms so the kernel scores them -inf.
+        valid = jnp.pad(lab >= 0, (0, npad - shard_n))
+        gnorm = jnp.where(valid, gnorm, 0.0)
+        idx, best = gallery_match_pallas(
+            f, g.T, gnorm, tile_b=tile_b, tile_n=tile_n
+        )
+        idx = idx[:b]
+        best = best[:b]
+        lab_pad = jnp.pad(lab, (0, npad - shard_n), constant_values=-1)
+        return best, lab_pad[idx]
 
     def local(feats, gal, lab):
         # gal: (shard_n, k) local shard; feats replicated.
-        scores = cosine_gallery(feats, gal)  # (B, shard_n)
-        # Mask padded rows.
-        valid = lab >= 0
-        scores = jnp.where(valid[None, :], scores, -jnp.inf)
-        local_idx = jnp.argmax(scores, axis=1)
-        local_best = jnp.take_along_axis(scores, local_idx[:, None], 1)[:, 0]
-        local_lab = lab[local_idx]
+        if use_pallas:
+            local_best, local_lab = _local_match_pallas(feats, gal, lab)
+        else:
+            scores = cosine_gallery(feats, gal)  # (B, shard_n)
+            # Mask padded rows.
+            valid = lab >= 0
+            scores = jnp.where(valid[None, :], scores, -jnp.inf)
+            local_idx = jnp.argmax(scores, axis=1)
+            local_best = jnp.take_along_axis(
+                scores, local_idx[:, None], 1
+            )[:, 0]
+            local_lab = lab[local_idx]
         # Global combine: gather per-shard winners, reduce on every chip.
         all_best = jax.lax.all_gather(local_best, model_axis)  # (S, B)
         all_lab = jax.lax.all_gather(local_lab, model_axis)  # (S, B)

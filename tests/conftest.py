@@ -38,6 +38,9 @@ def reference_root():
     return REFERENCE
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a shared stream makes one test's draws
+    # depend on which tests ran before it (ordering coupling bit us --
+    # adding tests shifted test_multistream's planted-face noise).
     return np.random.default_rng(1234)

@@ -134,3 +134,25 @@ def test_iou_matrix_basics():
     assert m[0, 0] == pytest.approx(1.0)
     assert m[0, 1] == pytest.approx(50 / 150)
     assert m[0, 2] == 0.0
+
+
+def test_dft_correlate_valid_matches_fft(rng):
+    """Full-frame MXU-DFT correlation == rFFT correlation (the TPU and
+    CPU backends of _fused_score_maps' numerator must agree)."""
+    import jax.numpy as jnp
+
+    from face_detection_recognization_pca_tpu.ops.dft_match import (
+        dft_correlate_valid,
+    )
+
+    frames = rng.normal(0, 30, (2, 40, 56)).astype(np.float32)
+    kernels = rng.normal(0, 30, (3, 9, 13)).astype(np.float32)
+    kernels -= kernels.mean(axis=(1, 2), keepdims=True)
+    oh, ow = 40 - 9 + 1, 56 - 13 + 1
+    got = np.asarray(
+        dft_correlate_valid(jnp.asarray(frames), jnp.asarray(kernels), oh, ow)
+    )
+    ff = np.fft.rfft2(frames, (40, 56))
+    kf = np.conj(np.fft.rfft2(kernels, (40, 56)))
+    want = np.fft.irfft2(ff[:, None] * kf[None], (40, 56))[:, :, :oh, :ow]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)

@@ -13,7 +13,8 @@ from face_detection_recognization_pca_tpu.parallel.multistream import (
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup():
+    rng = np.random.default_rng(1234)
     tpl = 64
     yy, xx = np.mgrid[0:tpl, 0:tpl].astype(np.float32) / tpl
     face = (

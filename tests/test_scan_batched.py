@@ -8,9 +8,10 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def planted_video(reference_root, tmp_path_factory, rng):
+def planted_video(reference_root, tmp_path_factory):
     """Synthetic video with a real Joseph_Lai crop planted at varying
     (non-border) positions; recognized against the shipped v2 model."""
+    rng = np.random.default_rng(1234)
     from face_detection_recognization_pca_tpu.io.video import VideoWriter
 
     crop = cv2.imread(
