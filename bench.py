@@ -16,10 +16,10 @@ def main() -> int:
     # large; caching them makes every bench run after the first cheap.
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fdrp_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from face_detection_recognization_pca_tpu.bench import cache_dir, run_bench
 
-    from face_detection_recognization_pca_tpu.bench import run_bench
+    jax.config.update("jax_compilation_cache_dir", cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     streams = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     out = run_bench(streams=streams)

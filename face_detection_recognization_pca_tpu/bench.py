@@ -25,6 +25,24 @@ import numpy as np
 
 SIZES = {"1080p": (1080, 1920), "720p": (720, 1280), "544p": (544, 960)}
 
+
+def cache_dir() -> str:
+    """Persistent XLA compile-cache location.
+
+    Repo-local (survives across driver rounds when the working tree is
+    reused -- the Haar chunk programs take minutes each to compile
+    through the remote-TPU tunnel) with a /tmp fallback when the repo
+    is not writable."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(repo, ".jax_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return "/tmp/fdrp_jax_cache"
+
 WIN = 192  # search window side (guided scanner: 1.5-2x face box)
 TPL = 96  # template / face box side
 
@@ -369,7 +387,7 @@ def _run_budgeted(fn_name: str, budget_s: int) -> dict:
 
     code = (
         "import json, jax; "
-        "jax.config.update('jax_compilation_cache_dir', '/tmp/fdrp_jax_cache'); "
+        f"jax.config.update('jax_compilation_cache_dir', {cache_dir()!r}); "
         "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5); "
         f"from face_detection_recognization_pca_tpu.bench import {fn_name}; "
         f"print('FDRP_BENCH:' + json.dumps({fn_name}()))"

@@ -166,6 +166,10 @@ def load_cascade(path: Optional[str] = None) -> HaarCascade:
 # ---------------------------------------------------------------------------
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def _grid_rect_sum(integral, x, y, w, h, ny, nx, step):
     """Rect sum for every grid window via 4 strided slices."""
 
@@ -242,11 +246,14 @@ def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
         cand_ok = flat_pass[cand]
         cy = (cand // nx) * step
         cx = (cand % nx) * step
-        dy = jnp.arange(side)[:, None]
-        dx = jnp.arange(side)[None, :]
-        rows = cy[:, None, None] + dy[None]
-        cols = cx[:, None, None] + dx[None]
-        patches = integral[rows, cols].reshape(kk, side * side)
+        # vmap(dynamic_slice), NOT fancy indexing: an elementwise gather
+        # of (K, 25, 25) scalarizes on TPU (measured 583 ms for
+        # 8x8192x625 on v5e), while the block-slice form lowers to a
+        # tile-granular gather that runs at HBM bandwidth (see
+        # ops/pallas_kernels.gather_patches).
+        patches = jax.vmap(
+            lambda y, x: lax.dynamic_slice(integral, (y, x), (side, side))
+        )(cy, cx).reshape(kk, side * side)
         # HIGHEST: TPU matmuls default to bf16 passes, which destroys
         # integral-image magnitudes (~1e8) -- detections silently vanish.
         rectsums = jnp.dot(
@@ -489,16 +496,7 @@ def _make_pyramid_fn(
     kk_a = min(k_pool_a, n_pool)
     kk_b = min(k_pool_b, kk_a)
 
-    def _gather_patches(integrals, lvl_c, cy_c, cx_c):
-        dy = jnp.arange(side)[:, None]
-        dx = jnp.arange(side)[None, :]
-        rows_i = cy_c[:, None, None] + dy[None]
-        cols_i = cx_c[:, None, None] + dx[None]
-        return integrals[lvl_c[:, None, None], rows_i, cols_i].reshape(
-            -1, side * side
-        )
-
-    def _core(img):
+    def _phase_a_all(img):
         pass_l, nf_l, int_l = [], [], []
         for li, (_, sh, sw, step) in enumerate(levels):
             ny, nx, _ = grid[li]
@@ -506,47 +504,75 @@ def _make_pyramid_fn(
             pass_l.append(p)
             nf_l.append(nf)
             int_l.append(integ)
-        passed = jnp.concatenate(pass_l)  # (n_pool,)
-        nf_all = jnp.concatenate(nf_l)
-        integrals = jnp.stack(int_l)  # (L, max_h+1, max_w+1)
-        count_a = jnp.sum(passed)
+        return (
+            jnp.concatenate(pass_l),  # (n_pool,)
+            jnp.concatenate(nf_l),
+            jnp.stack(int_l),  # (L, max_h+1, max_w+1)
+        )
+
+    def _batch_core(imgs):
+        """Phase A is vmapped per frame; both compaction phases run at
+        BATCH level as one tile-granular gather for the whole batch
+        (ops/pallas_kernels.gather_patches_batch) -- an elementwise
+        (K, 625) gather scalarizes on TPU and was measured at 583 ms
+        per 8x8192-candidate chunk, ~90% of the detector, while the
+        block-slice form runs at HBM bandwidth."""
+        from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
+            gather_patches_batch,
+        )
+
+        bsz = imgs.shape[0]
+        passed, nf_all, integrals = jax.vmap(_phase_a_all)(imgs)
+        count_a = jnp.sum(passed, axis=1)
 
         # Pool 1: chunk-wide compaction of phase-A survivors.
-        _, cand = lax.top_k(passed.astype(jnp.float32), kk_a)
-        ok_a = passed[cand]
-        lvl_c = lvl_all_j[cand]
-        cy_c = cy_all_j[cand]
-        cx_c = cx_all_j[cand]
-        nf_c = nf_all[cand]
-        patches = _gather_patches(integrals, lvl_c, cy_c, cx_c)
+        _, cand = lax.top_k(passed.astype(jnp.float32), kk_a)  # (B, kk_a)
+        ok_a = jnp.take_along_axis(passed, cand, axis=1)
+        lvl_c = jnp.take(lvl_all_j, cand)
+        cy_c = jnp.take(cy_all_j, cand)
+        cx_c = jnp.take(cx_all_j, cand)
+        nf_c = jnp.take_along_axis(nf_all, cand, axis=1)
+        patches = gather_patches_batch(
+            integrals, lvl_c, cy_c, cx_c, side
+        ).reshape(bsz * kk_a, side * side)
         ok_b1 = (
             _stump_stage_test(
-                patches, nf_c, corner_mid, st_mid, l0_mid, l1_mid,
-                oh_mid, sthr_mid,
-            )
+                patches, nf_c.reshape(-1), corner_mid, st_mid, l0_mid,
+                l1_mid, oh_mid, sthr_mid,
+            ).reshape(bsz, kk_a)
             & ok_a
         )
-        count_b1 = jnp.sum(ok_b1)
+        count_b1 = jnp.sum(ok_b1, axis=1)
 
         if corner_tail is None:
             return ok_b1, cx_c, cy_c, lvl_c, count_a, count_b1
 
-        # Pool 2: compact B1 survivors, run the remaining stages.
-        _, cand2 = lax.top_k(ok_b1.astype(jnp.float32), kk_b)
-        ok_b1_c = ok_b1[cand2]
-        patches2 = patches[cand2]
-        nf2 = nf_c[cand2]
+        # Pool 2: compact B1 survivors, run the remaining stages.  The
+        # (small) patch set is re-gathered from the integrals -- a
+        # tile-granular gather is cheaper than an elementwise
+        # take_along_axis over the pool-1 patches.
+        _, cand2 = lax.top_k(ok_b1.astype(jnp.float32), kk_b)  # (B, kk_b)
+        ok_b1_c = jnp.take_along_axis(ok_b1, cand2, axis=1)
+        lvl2 = jnp.take_along_axis(lvl_c, cand2, axis=1)
+        cy2 = jnp.take_along_axis(cy_c, cand2, axis=1)
+        cx2 = jnp.take_along_axis(cx_c, cand2, axis=1)
+        nf2 = jnp.take_along_axis(nf_c, cand2, axis=1)
+        patches2 = gather_patches_batch(
+            integrals, lvl2, cy2, cx2, side
+        ).reshape(bsz * kk_b, side * side)
         ok = (
             _stump_stage_test(
-                patches2, nf2, corner_tail, st_tail, l0_tail, l1_tail,
-                oh_tail, sthr_tail,
-            )
+                patches2, nf2.reshape(-1), corner_tail, st_tail, l0_tail,
+                l1_tail, oh_tail, sthr_tail,
+            ).reshape(bsz, kk_b)
             & ok_b1_c
         )
-        return ok, cx_c[cand2], cy_c[cand2], lvl_c[cand2], count_a, count_b1
+        return ok, cx2, cy2, lvl2, count_a, count_b1
 
-    pyramid_fn = jax.jit(_core)
-    pyramid_fn_batch = jax.jit(jax.vmap(_core))
+    pyramid_fn_batch = jax.jit(_batch_core)
+    pyramid_fn = jax.jit(
+        lambda img: tuple(a[0] for a in _batch_core(img[None]))
+    )
     return pyramid_fn, pyramid_fn_batch
 
 
@@ -669,8 +695,13 @@ class HaarDetector:
                 (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
                 for (_, sh, sw, st) in part
             )
-            ka = min(self._k_pool_a, n_pool)
-            kb = min(self._k_pool_b, ka)
+            # Right-size the pools by the chunk's window count: phase-A
+            # survivor rates on real footage are ~1-2% (pool at ~6%),
+            # B1 survivors ~0.1% (pool at ~0.4%).  Exact counts come
+            # back with the results, so an undersized pool costs one
+            # doubled retry -- never a wrong detection.
+            ka = min(self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16)))
+            kb = min(self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256)))
             fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
             outs = (
                 tuple(a[None] for a in fn_one(frames_j[0]))
