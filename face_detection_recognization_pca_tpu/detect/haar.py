@@ -184,13 +184,206 @@ def _grid_rect_sum(integral, x, y, w, h, ny, nx, step):
     return sl(h, w) - sl(h, 0) - sl(0, w) + sl(0, 0)
 
 
-def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
+def _prefilter_consts(cascade: HaarCascade, pf_end: int):
+    """Corner-stack constants for the dense phase-A matmul.
+
+    The prefilter stumps touch only ``C`` distinct integral-image corner
+    offsets (460 for the default cascade's first 5 stages, vs 1144
+    slice + 2288 FMA HLO ops when each rect is unrolled).  Phase A then
+    becomes: stack the ``C`` strided corner slices, one
+    ``(windows, C) @ (C, n_stumps)`` MXU matmul for every rect sum, and
+    the shared stump/stage test.  ~7x fewer HLO ops per chunk program
+    (XLA compile time, the driver-budget risk for fresh VMs) and the
+    arithmetic moves from the VPU to the otherwise-idle MXU.
+
+    Returns (corners [(dy, dx) x C], weights (C, pf_end) f32).
+    """
+    idx: dict = {}
+    entries = []
+    for s in range(pf_end):
+        for (x, y, w, h, wt) in cascade.rects[cascade.stump_feature[s]]:
+            if wt == 0.0:
+                continue
+            x, y, w, h = int(x), int(y), int(w), int(h)
+            for dy, dx, sign in (
+                (y, x, 1.0),
+                (y + h, x + w, 1.0),
+                (y, x + w, -1.0),
+                (y + h, x, -1.0),
+            ):
+                key = (dy, dx)
+                if key not in idx:
+                    idx[key] = len(idx)
+                entries.append((idx[key], s, sign * wt))
+    weights = np.zeros((len(idx), pf_end), dtype=np.float32)
+    for ci, s, v in entries:
+        weights[ci, s] += v
+    corners = [k for k, _ in sorted(idx.items(), key=lambda kv: kv[1])]
+    return corners, weights
+
+
+def _phase_planes(integral, side: int):
+    """Split the integral into 4 stride-2 phase planes.
+
+    A stride-2 strided slice on TPU becomes a STANDALONE HLO op
+    (~0.1 ms op overhead each; profiler-measured 2365 slices = 237 ms
+    of a 286 ms phase-A program).  After this one-time split (4 strided
+    slices total), every rect-corner read for the stride-2 window grid
+    is a CONTIGUOUS slice ``planes[dy&1][dx&1][dy>>1:, dx>>1:]``, which
+    XLA fuses into consumers instead of materializing."""
+    integ = jnp.pad(integral, ((0, side + 1), (0, side + 1)))
+    return [[integ[p::2, q::2] for q in (0, 1)] for p in (0, 1)]
+
+
+def _corner_grid(integral, planes, dy, dx, ny, nx, step):
+    """(ny, nx) values integral[dy + step*i, dx + step*j] as a
+    contiguous slice (step 2 via phase planes; step 1 directly)."""
+    if step == 1:
+        return lax.slice(integral, (dy, dx), (dy + ny, dx + nx))
+    return lax.slice(
+        planes[dy & 1][dx & 1],
+        (dy >> 1, dx >> 1),
+        ((dy >> 1) + ny, (dx >> 1) + nx),
+    )
+
+
+def _default_phase_a_mode() -> str:
+    """'matmul' on accelerator backends, 'unrolled' on CPU.
+
+    The corner-stack matmul costs ~50x the FLOPs of the unrolled
+    slice+FMA form but runs them on the otherwise-idle MXU (phase A is
+    VPU/memory-bound) and compiles ~7x smaller programs -- the right
+    trade on TPU, where XLA compile time through a remote tunnel is
+    the scarce resource.  On a (single-core test) CPU those FLOPs are
+    real wall time, so the unrolled form stays the CPU default; a CPU
+    equivalence test pins the two forms to identical detections."""
+    try:
+        return "unrolled" if jax.default_backend() == "cpu" else "matmul"
+    except Exception:
+        return "matmul"
+
+
+def _make_phase_a_fn(cascade: HaarCascade, prefilter_stages: int, mode: str):
+    """fn(integral, nf, ny, nx, step) -> (ny, nx) bool window survival
+    over the first ``prefilter_stages`` stages (see
+    :func:`_default_phase_a_mode` for the two forms).  Both forms read
+    rect corners through :func:`_corner_grid` (contiguous slices via
+    the stride-2 phase planes -- see :func:`_phase_planes`)."""
+    wh, ww = cascade.window_size
+    side = max(wh, ww) + 1
+    n_pf = min(prefilter_stages, cascade.n_stages)
+    pf_end = int(cascade.stage_offsets[n_pf])
+    if mode == "matmul":
+        pf_corners, pf_weights = _prefilter_consts(cascade, pf_end)
+        pf_weights_j = jnp.asarray(pf_weights)
+        stage_of = np.zeros(cascade.n_stumps, dtype=np.int32)
+        for si in range(cascade.n_stages):
+            stage_of[
+                cascade.stage_offsets[si] : cascade.stage_offsets[si + 1]
+            ] = si
+        st_pf = jnp.asarray(cascade.stump_threshold[:pf_end])
+        l0_pf = jnp.asarray(cascade.leaf0[:pf_end])
+        l1_pf = jnp.asarray(cascade.leaf1[:pf_end])
+        oh_pf = _make_stage_onehot(stage_of, 0, pf_end, 0, n_pf)
+        sthr_pf = jnp.asarray(cascade.stage_thresholds[:n_pf])
+
+        def phase_a(integral, nf, ny, nx, step):
+            planes = _phase_planes(integral, side) if step == 2 else None
+            stack = jnp.stack(
+                [
+                    _corner_grid(integral, planes, dy, dx, ny, nx, step)
+                    for (dy, dx) in pf_corners
+                ],
+                axis=-1,
+            )
+            return _stump_stage_test(
+                stack.reshape(ny * nx, -1), nf.reshape(-1), pf_weights_j,
+                st_pf, l0_pf, l1_pf, oh_pf, sthr_pf,
+            ).reshape(ny, nx)
+
+        return phase_a
+
+    sf = cascade.stump_feature
+    rects = cascade.rects
+    st = cascade.stump_threshold
+    l0, l1 = cascade.leaf0, cascade.leaf1
+    soff = cascade.stage_offsets
+    sthr = cascade.stage_thresholds
+
+    def phase_a(integral, nf, ny, nx, step):
+        planes = _phase_planes(integral, side) if step == 2 else None
+
+        def rect_sum(x, y, w, h):
+            return (
+                _corner_grid(integral, planes, y + h, x + w, ny, nx, step)
+                - _corner_grid(integral, planes, y + h, x, ny, nx, step)
+                - _corner_grid(integral, planes, y, x + w, ny, nx, step)
+                + _corner_grid(integral, planes, y, x, ny, nx, step)
+            )
+
+        passed = jnp.ones((ny, nx), dtype=bool)
+        si = 0
+        k = 0
+        while k < pf_end:
+            stage_sum = jnp.zeros((ny, nx), jnp.float32)
+            for s in range(int(soff[si]), int(soff[si + 1])):
+                val = jnp.zeros((ny, nx), jnp.float32)
+                for (x, y, w, h, wt) in rects[sf[s]]:
+                    if wt == 0.0:
+                        continue
+                    val += jnp.float32(wt) * rect_sum(
+                        int(x), int(y), int(w), int(h)
+                    )
+                stage_sum += jnp.where(val < st[s] * nf, l0[s], l1[s])
+            passed = passed & (stage_sum >= sthr[si])
+            k = int(soff[si + 1])
+            si += 1
+        return passed
+
+    return phase_a
+
+
+def _stump_stage_test(patches, nf_c, corner_p, st_p, l0_p, l1_p, oh, thr):
+    """All-stages stump test for a candidate block: rect sums as ONE
+    MXU matmul against the corner-weight matrix, vectorized leaf
+    selection, stage sums as a one-hot matmul (segment_sum lowers
+    poorly inside big fused programs).  HIGHEST precision: bf16 MXU
+    passes corrupt ~1e8 integral sums -- detections silently vanish."""
+    rectsums = jnp.dot(
+        patches,
+        corner_p,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    vals = jnp.where(
+        rectsums < st_p[None, :] * nf_c[:, None], l0_p[None, :], l1_p[None, :]
+    )
+    stage_sums = jnp.dot(
+        vals,
+        oh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.all(stage_sums >= thr[None, :], axis=1)
+
+
+def _make_stage_onehot(stage_of: np.ndarray, s0: int, s1: int, st0: int,
+                       st1: int) -> jnp.ndarray:
+    m = np.zeros((s1 - s0, st1 - st0), dtype=np.float32)
+    for s in range(s0, s1):
+        m[s - s0, stage_of[s] - st0] = 1.0
+    return jnp.asarray(m)
+
+
+def _make_level_fn(
+    cascade: HaarCascade,
+    prefilter_stages: int,
+    top_k: int,
+    phase_a_mode: Optional[str] = None,
+):
     """Build the jitted per-level evaluator (closed over cascade consts)."""
     wh, ww = cascade.window_size
     side = max(wh, ww) + 1
-    pf_end = int(cascade.stage_offsets[min(prefilter_stages, cascade.n_stages)])
-    sf = cascade.stump_feature
-    rects = cascade.rects
     st = cascade.stump_threshold
     l0, l1 = cascade.leaf0, cascade.leaf1
     soff = cascade.stage_offsets
@@ -202,6 +395,9 @@ def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
     for si in range(cascade.n_stages):
         stage_of[soff[si] : soff[si + 1]] = si
     stage_of = jnp.asarray(stage_of)
+    phase_a = _make_phase_a_fn(
+        cascade, prefilter_stages, phase_a_mode or _default_phase_a_mode()
+    )
     norm_area = (wh - 2) * (ww - 2)
 
     def _core(img: jnp.ndarray, ny: int, nx: int, step: int):
@@ -220,24 +416,9 @@ def _make_level_fn(cascade: HaarCascade, prefilter_stages: int, top_k: int):
         nf2 = norm_area * s2 - s1 * s1
         nf = jnp.where(nf2 > 0, jnp.sqrt(jnp.maximum(nf2, 0.0)), 1.0)
 
-        # Phase A: dense prefilter stages via strided slices.
-        passed = jnp.ones((ny, nx), dtype=bool)
-        si = 0
-        k = 0
-        while k < pf_end:
-            stage_sum = jnp.zeros((ny, nx), jnp.float32)
-            for s in range(int(soff[si]), int(soff[si + 1])):
-                val = jnp.zeros((ny, nx), jnp.float32)
-                for (x, y, w, h, wt) in rects[sf[s]]:
-                    if wt == 0.0:
-                        continue
-                    val += jnp.float32(wt) * _grid_rect_sum(
-                        integral, int(x), int(y), int(w), int(h), ny, nx, step
-                    )
-                stage_sum += jnp.where(val < st[s] * nf, l0[s], l1[s])
-            passed = passed & (stage_sum >= sthr[si])
-            k = int(soff[si + 1])
-            si += 1
+        # Phase A: all prefilter stages for every window (backend-
+        # dependent form, see _make_phase_a_fn).
+        passed = phase_a(integral, nf, ny, nx, step)
 
         # Phase B: top-K surviving windows -> patch gather -> one matmul.
         kk = min(top_k, ny * nx)
@@ -323,6 +504,7 @@ def _make_pyramid_fn(
     k_pool_a: int = 8192,
     k_pool_b: int = 1024,
     mid_stages: int = 10,
+    phase_a_mode: Optional[str] = None,
 ):
     """ONE jitted program evaluating a chunk of pyramid levels.
 
@@ -353,18 +535,14 @@ def _make_pyramid_fn(
     """
     wh, ww = cascade.window_size
     side = max(wh, ww) + 1
-    pf_end = int(
-        cascade.stage_offsets[min(prefilter_stages, cascade.n_stages)]
-    )
+    n_pf = min(prefilter_stages, cascade.n_stages)
+    pf_end = int(cascade.stage_offsets[n_pf])
     mid_end = int(
         cascade.stage_offsets[min(mid_stages, cascade.n_stages)]
     )
-    sf = cascade.stump_feature
-    rects = cascade.rects
     st = cascade.stump_threshold
     l0, l1 = cascade.leaf0, cascade.leaf1
     soff = cascade.stage_offsets
-    sthr = cascade.stage_thresholds
     S = cascade.n_stumps
     stage_of = np.zeros(S, dtype=np.int32)
     for si in range(cascade.n_stages):
@@ -388,23 +566,21 @@ def _make_pyramid_fn(
     max_h = max(sh for (_, sh, _, _) in levels)
     max_w = max(sw for (_, _, sw, _) in levels)
 
-    # Stage-membership (one-hot) matrices for the two matmul phases:
+    # Stage-membership (one-hot) matrices for the matmul phases:
     # (n_stumps_in_phase, n_stages_in_phase) so stage sums are matmuls
     # too (segment_sum lowers poorly inside big fused programs).
-    def stage_onehot(s0, s1, st0, st1):
-        m = np.zeros((s1 - s0, st1 - st0), dtype=np.float32)
-        for s in range(s0, s1):
-            m[s - s0, stage_of[s] - st0] = 1.0
-        return jnp.asarray(m)
-
     n_mid_stages = min(mid_stages, cascade.n_stages) - prefilter_stages
-    oh_mid = stage_onehot(pf_end, mid_end, prefilter_stages,
-                          prefilter_stages + n_mid_stages)
+    oh_mid = _make_stage_onehot(stage_of, pf_end, mid_end, prefilter_stages,
+                                prefilter_stages + n_mid_stages)
     oh_tail = (
-        stage_onehot(mid_end, S, min(mid_stages, cascade.n_stages),
-                     cascade.n_stages)
+        _make_stage_onehot(stage_of, mid_end, S,
+                           min(mid_stages, cascade.n_stages),
+                           cascade.n_stages)
         if mid_end < S
         else None
+    )
+    phase_a = _make_phase_a_fn(
+        cascade, prefilter_stages, phase_a_mode or _default_phase_a_mode()
     )
     corner_mid = jnp.asarray(cascade.corner_matrix[:, pf_end:mid_end])
     corner_tail = (
@@ -438,23 +614,9 @@ def _make_pyramid_fn(
         nf2 = norm_area * s2 - s1 * s1
         nf = jnp.where(nf2 > 0, jnp.sqrt(jnp.maximum(nf2, 0.0)), 1.0)
 
-        passed = jnp.ones((ny, nx), dtype=bool)
-        si = 0
-        k = 0
-        while k < pf_end:
-            stage_sum = jnp.zeros((ny, nx), jnp.float32)
-            for s in range(int(soff[si]), int(soff[si + 1])):
-                val = jnp.zeros((ny, nx), jnp.float32)
-                for (x, y, w_, h_, wt) in rects[sf[s]]:
-                    if wt == 0.0:
-                        continue
-                    val += jnp.float32(wt) * _grid_rect_sum(
-                        integral, int(x), int(y), int(w_), int(h_), ny, nx, step
-                    )
-                stage_sum += jnp.where(val < st[s] * nf, l0[s], l1[s])
-            passed = passed & (stage_sum >= sthr[si])
-            k = int(soff[si + 1])
-            si += 1
+        # Phase A: all prefilter stages for every window (backend-
+        # dependent form, see _make_phase_a_fn).
+        passed = phase_a(integral, nf, ny, nx, step)
         # Pad the integral to the stacked (max_h+1, max_w+1) shape so
         # pooled (level, y, x) gathers work across the chunk.
         integral = jnp.pad(
@@ -462,26 +624,6 @@ def _make_pyramid_fn(
             ((0, max_h + 1 - integral.shape[0]), (0, max_w + 1 - integral.shape[1])),
         )
         return passed.reshape(-1), nf.reshape(-1), integral
-
-    def _stump_stage_test(patches, nf_c, corner_p, st_p, l0_p, l1_p, oh, thr):
-        # HIGHEST: bf16 MXU passes corrupt ~1e8 integral sums (see
-        # _make_level_fn note).
-        rectsums = jnp.dot(
-            patches,
-            corner_p,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        vals = jnp.where(
-            rectsums < st_p[None, :] * nf_c[:, None], l0_p[None, :], l1_p[None, :]
-        )
-        stage_sums = jnp.dot(
-            vals,
-            oh,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return jnp.all(stage_sums >= thr[None, :], axis=1)
 
     st_mid = jnp.asarray(st[pf_end:mid_end])
     l0_mid = jnp.asarray(l0[pf_end:mid_end])
@@ -570,9 +712,9 @@ def _make_pyramid_fn(
         return ok, cx2, cy2, lvl2, count_a, count_b1
 
     pyramid_fn_batch = jax.jit(_batch_core)
-    pyramid_fn = jax.jit(
-        lambda img: tuple(a[0] for a in _batch_core(img[None]))
-    )
+    # Single-frame variant keeps the batch dim (B=1): stripping it on
+    # the host would cost 6 extra tiny device ops per chunk call.
+    pyramid_fn = jax.jit(lambda img: _batch_core(img[None]))
     return pyramid_fn, pyramid_fn_batch
 
 
@@ -587,14 +729,16 @@ class HaarDetector:
         fused_pyramid: bool = True,
         k_per_level: int = 512,
         pyramid_chunk: int = 5,
+        phase_a_mode: Optional[str] = None,
     ):
         # Defaults tuned on 960x544 frames: 5 dense prefilter stages
         # (136 stumps) cut phase-B candidates enough that K=512 never
         # truncates in practice and the per-frame cost drops ~5.5x vs
         # (3, 2048) with identical detections.
         self.cascade = cascade or load_cascade()
+        self._phase_a_mode = phase_a_mode or _default_phase_a_mode()
         self._level_fn, self._level_fn_batch = _make_level_fn(
-            self.cascade, prefilter_stages, top_k
+            self.cascade, prefilter_stages, top_k, self._phase_a_mode
         )
         self.fused_pyramid = fused_pyramid
         self._prefilter_stages = prefilter_stages
@@ -619,7 +763,44 @@ class HaarDetector:
                 self._prefilter_stages,
                 k_pool_a=ka,
                 k_pool_b=kb,
+                phase_a_mode=self._phase_a_mode,
             )
+        return self._pyramid_cache[key]
+
+    def _get_pack_fn(self, c0s: Tuple[int, ...]):
+        """Jitted packer: all chunk outputs -> ONE (B, sum_K + n_chunks,
+        4) f32 array (candidate slots, then per-chunk [count_a,
+        count_b1, 0, 0] rows), so a detect call downloads one array."""
+        key = ("pack", c0s)
+        if key not in self._pyramid_cache:
+
+            @jax.jit
+            def pack(chunks):
+                parts = [
+                    jnp.stack(
+                        [
+                            o.astype(jnp.float32),
+                            x_.astype(jnp.float32),
+                            y_.astype(jnp.float32),
+                            (l_ + c0).astype(jnp.float32),
+                        ],
+                        axis=-1,
+                    )
+                    for c0, (o, x_, y_, l_, _, _) in zip(c0s, chunks)
+                ]
+                cnts = jnp.stack(
+                    [
+                        jnp.stack([na, nb1], axis=-1).astype(jnp.float32)
+                        for (_, _, _, _, na, nb1) in chunks
+                    ],
+                    axis=1,
+                )  # (B, n_chunks, 2)
+                pad = jnp.zeros(cnts.shape[:2] + (2,), jnp.float32)
+                return jnp.concatenate(
+                    parts + [jnp.concatenate([cnts, pad], axis=-1)], axis=1
+                )
+
+            self._pyramid_cache[key] = pack
         return self._pyramid_cache[key]
 
     def detect_multi_scale(
@@ -703,44 +884,22 @@ class HaarDetector:
             ka = min(self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16)))
             kb = min(self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256)))
             fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
-            outs = (
-                tuple(a[None] for a in fn_one(frames_j[0]))
-                if nb == 1
-                else fn_batch(frames_j)
-            )
+            outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
             dispatches += 1
             chunk_meta.append((c0, n_pool, ka, kb, int(outs[0].shape[1])))
             device_out.append(outs)
 
-        # One download: candidate slots packed f32 + per-chunk counts.
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    jnp.stack(
-                        [
-                            o.astype(jnp.float32),
-                            x_.astype(jnp.float32),
-                            y_.astype(jnp.float32),
-                            (l_ + c0).astype(jnp.float32),
-                        ],
-                        axis=-1,
-                    )
-                    for (c0, *_), (o, x_, y_, l_, _, _) in zip(
-                        chunk_meta, device_out
-                    )
-                ],
-                axis=1,
-            )
-        )  # (B, sum_K, 4)
-        counts = np.asarray(
-            jnp.stack(
-                [
-                    jnp.stack([na, nb1], axis=-1)
-                    for (_, _, _, _, na, nb1) in device_out
-                ],
-                axis=1,
-            )
-        )  # (B, n_chunks, 2)
+        # Phase 2: ONE jitted pack program for all chunk outputs + ONE
+        # download (candidate slots f32 + per-chunk counts appended as
+        # trailing rows).  Per-call jnp.stack/concatenate on the host
+        # side would each be a separate tiny dispatch -- at ~10-30 ms
+        # tunnel round-trip each, the packing dominated the detector.
+        pack_fn = self._get_pack_fn(tuple(m[0] for m in chunk_meta))
+        dispatches += 1
+        n_chunks = len(chunk_meta)
+        arr = np.asarray(pack_fn(tuple(device_out)))
+        packed = arr[:, :-n_chunks]  # (B, sum_K, 4)
+        counts = arr[:, -n_chunks:, :2]  # (B, n_chunks, 2)
 
         # Exactness check: re-run any chunk whose pools truncated with
         # doubled capacity (new program, cached) until exact.
@@ -752,11 +911,7 @@ class HaarDetector:
                 kb = min(kb * 2, ka)
                 part = levels[c0 : c0 + chunk]
                 fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
-                outs = (
-                    tuple(a[None] for a in fn_one(frames_j[0]))
-                    if nb == 1
-                    else fn_batch(frames_j)
-                )
+                outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
                 dispatches += 1
                 o, x_, y_, l_ = outs[:4]
                 packed_redo = np.asarray(

@@ -103,15 +103,33 @@ def test_fused_program_matches_numpy_cascade(face_region):
     ok, cx, cy, lid, na, nb1 = fn_one(
         jnp.asarray(face_region.astype(np.float32))
     )
-    ok = np.asarray(ok)
+    ok = np.asarray(ok)[0]  # fn_one keeps the B=1 batch dim
     got = {
         (int(x), int(y))
-        for x, y, o in zip(np.asarray(cx), np.asarray(cy), ok)
+        for x, y, o in zip(np.asarray(cx)[0], np.asarray(cy)[0], ok)
         if o
     }
     want = numpy_cascade_accepts(face_region, cascade, step=2)
     assert want, "oracle found no accepts -- fixture region is wrong"
     assert got == want
+
+
+def test_phase_a_matmul_equals_unrolled(face_region):
+    """The TPU phase-A form (corner-slice stack + MXU matmul) and the
+    CPU form (unrolled slice+FMA) must produce identical detections --
+    the matmul form is what runs on accelerators, where the full-suite
+    CPU oracle never exercises it."""
+    import cv2
+
+    from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
+
+    big = cv2.resize(face_region, (256, 192))
+    out = {}
+    for mode in ("matmul", "unrolled"):
+        det = HaarDetector(phase_a_mode=mode)
+        out[mode] = det.detect_multi_scale(big, min_size=(24, 24))
+    assert out["matmul"] == out["unrolled"]
+    assert out["matmul"], "no detections -- fixture region is wrong"
 
 
 def test_fused_engine_equals_per_level_engine(face_region):
@@ -131,7 +149,8 @@ def test_fused_engine_equals_per_level_engine(face_region):
     legacy_dispatches = det.last_dispatches
     assert fused == legacy
     assert fused, "no detections on the real face region"
-    assert fused_dispatches * 5 <= legacy_dispatches + 25
+    assert fused_dispatches * 5 <= legacy_dispatches + 30
     # The per-level engine pays ~2 round-trips per level (resize +
-    # eval); the fused one pays 1 per ~5-level chunk.
-    assert fused_dispatches <= (legacy_dispatches + 4) // 5
+    # eval); the fused one pays 1 per ~5-level chunk plus ONE packed
+    # download program for the whole pyramid.
+    assert fused_dispatches <= (legacy_dispatches + 4) // 5 + 1
