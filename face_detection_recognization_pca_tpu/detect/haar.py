@@ -9,11 +9,12 @@ hostile to XLA, so this engine restructures it for dense hardware:
 1. **Pyramid**: like modern OpenCV, the *image* is rescaled per level
    (factor ``1.1^i``) and the 24x24 cascade always runs at base size,
    windows on a stride-2 grid (stride 1 for levels with factor > 2).
-2. **Phase A (dense prefilter)**: the first few stages (default 3,
-   ~52 stumps) are evaluated for *every* window simultaneously -- each
-   Haar rect sum is a strided-slice combination of the level's integral
-   image, so the whole grid evaluates with pure VPU arithmetic, no
-   gathers.
+2. **Phase A (dense prefilter)**: the first few stages (default 5,
+   ~136 stumps) are evaluated for *every* window simultaneously -- each
+   Haar rect sum combines 4 corner reads of the level's integral image,
+   taken as CONTIGUOUS slices of its stride-2 phase planes (see
+   :func:`_phase_planes`), so the whole grid evaluates as a few fused
+   VPU loops, no gathers and no per-corner HLO ops.
 3. **Phase B (candidate matmul)**: top-K windows surviving Phase A have
    their 25x25 integral patches gathered into a ``(K, 625)`` matrix;
    *all* 2913 stump rect-sums for all candidates are then one
@@ -184,44 +185,6 @@ def _grid_rect_sum(integral, x, y, w, h, ny, nx, step):
     return sl(h, w) - sl(h, 0) - sl(0, w) + sl(0, 0)
 
 
-def _prefilter_consts(cascade: HaarCascade, pf_end: int):
-    """Corner-stack constants for the dense phase-A matmul.
-
-    The prefilter stumps touch only ``C`` distinct integral-image corner
-    offsets (460 for the default cascade's first 5 stages, vs 1144
-    slice + 2288 FMA HLO ops when each rect is unrolled).  Phase A then
-    becomes: stack the ``C`` strided corner slices, one
-    ``(windows, C) @ (C, n_stumps)`` MXU matmul for every rect sum, and
-    the shared stump/stage test.  ~7x fewer HLO ops per chunk program
-    (XLA compile time, the driver-budget risk for fresh VMs) and the
-    arithmetic moves from the VPU to the otherwise-idle MXU.
-
-    Returns (corners [(dy, dx) x C], weights (C, pf_end) f32).
-    """
-    idx: dict = {}
-    entries = []
-    for s in range(pf_end):
-        for (x, y, w, h, wt) in cascade.rects[cascade.stump_feature[s]]:
-            if wt == 0.0:
-                continue
-            x, y, w, h = int(x), int(y), int(w), int(h)
-            for dy, dx, sign in (
-                (y, x, 1.0),
-                (y + h, x + w, 1.0),
-                (y, x + w, -1.0),
-                (y + h, x, -1.0),
-            ):
-                key = (dy, dx)
-                if key not in idx:
-                    idx[key] = len(idx)
-                entries.append((idx[key], s, sign * wt))
-    weights = np.zeros((len(idx), pf_end), dtype=np.float32)
-    for ci, s, v in entries:
-        weights[ci, s] += v
-    corners = [k for k, _ in sorted(idx.items(), key=lambda kv: kv[1])]
-    return corners, weights
-
-
 def _phase_planes(integral, side: int):
     """Split the integral into 4 stride-2 phase planes.
 
@@ -247,62 +210,25 @@ def _corner_grid(integral, planes, dy, dx, ny, nx, step):
     )
 
 
-def _default_phase_a_mode() -> str:
-    """'matmul' on accelerator backends, 'unrolled' on CPU.
-
-    The corner-stack matmul costs ~50x the FLOPs of the unrolled
-    slice+FMA form but runs them on the otherwise-idle MXU (phase A is
-    VPU/memory-bound) and compiles ~7x smaller programs -- the right
-    trade on TPU, where XLA compile time through a remote tunnel is
-    the scarce resource.  On a (single-core test) CPU those FLOPs are
-    real wall time, so the unrolled form stays the CPU default; a CPU
-    equivalence test pins the two forms to identical detections."""
-    try:
-        return "unrolled" if jax.default_backend() == "cpu" else "matmul"
-    except Exception:
-        return "matmul"
-
-
-def _make_phase_a_fn(cascade: HaarCascade, prefilter_stages: int, mode: str):
+def _make_phase_a_fn(cascade: HaarCascade, prefilter_stages: int):
     """fn(integral, nf, ny, nx, step) -> (ny, nx) bool window survival
-    over the first ``prefilter_stages`` stages (see
-    :func:`_default_phase_a_mode` for the two forms).  Both forms read
-    rect corners through :func:`_corner_grid` (contiguous slices via
-    the stride-2 phase planes -- see :func:`_phase_planes`)."""
+    over the first ``prefilter_stages`` stages.
+
+    One form on every backend: the unrolled slice+FMA evaluation with
+    all rect-corner reads through :func:`_corner_grid` (contiguous
+    slices via the stride-2 phase planes).  Measured on v5e against the
+    alternatives it replaced: strided-corner matmul 315 ms / strided
+    unrolled 293 ms / 25x25 conv 534 ms / THIS form 0.03-2 ms for an
+    8-frame 544p 5-level chunk -- the contiguous slices fuse into a few
+    VPU loop fusions, and exact f32 adds keep phase A bit-identical to
+    the float64 oracle's accept set (the MXU matmul's bf16x6 passes
+    flipped ~0.08% of marginal windows).  Compile: ~36 s per 5-level
+    chunk on the remote v5e, cached persistently thereafter.
+    """
     wh, ww = cascade.window_size
     side = max(wh, ww) + 1
     n_pf = min(prefilter_stages, cascade.n_stages)
     pf_end = int(cascade.stage_offsets[n_pf])
-    if mode == "matmul":
-        pf_corners, pf_weights = _prefilter_consts(cascade, pf_end)
-        pf_weights_j = jnp.asarray(pf_weights)
-        stage_of = np.zeros(cascade.n_stumps, dtype=np.int32)
-        for si in range(cascade.n_stages):
-            stage_of[
-                cascade.stage_offsets[si] : cascade.stage_offsets[si + 1]
-            ] = si
-        st_pf = jnp.asarray(cascade.stump_threshold[:pf_end])
-        l0_pf = jnp.asarray(cascade.leaf0[:pf_end])
-        l1_pf = jnp.asarray(cascade.leaf1[:pf_end])
-        oh_pf = _make_stage_onehot(stage_of, 0, pf_end, 0, n_pf)
-        sthr_pf = jnp.asarray(cascade.stage_thresholds[:n_pf])
-
-        def phase_a(integral, nf, ny, nx, step):
-            planes = _phase_planes(integral, side) if step == 2 else None
-            stack = jnp.stack(
-                [
-                    _corner_grid(integral, planes, dy, dx, ny, nx, step)
-                    for (dy, dx) in pf_corners
-                ],
-                axis=-1,
-            )
-            return _stump_stage_test(
-                stack.reshape(ny * nx, -1), nf.reshape(-1), pf_weights_j,
-                st_pf, l0_pf, l1_pf, oh_pf, sthr_pf,
-            ).reshape(ny, nx)
-
-        return phase_a
-
     sf = cascade.stump_feature
     rects = cascade.rects
     st = cascade.stump_threshold
@@ -379,7 +305,6 @@ def _make_level_fn(
     cascade: HaarCascade,
     prefilter_stages: int,
     top_k: int,
-    phase_a_mode: Optional[str] = None,
 ):
     """Build the jitted per-level evaluator (closed over cascade consts)."""
     wh, ww = cascade.window_size
@@ -395,9 +320,7 @@ def _make_level_fn(
     for si in range(cascade.n_stages):
         stage_of[soff[si] : soff[si + 1]] = si
     stage_of = jnp.asarray(stage_of)
-    phase_a = _make_phase_a_fn(
-        cascade, prefilter_stages, phase_a_mode or _default_phase_a_mode()
-    )
+    phase_a = _make_phase_a_fn(cascade, prefilter_stages)
     norm_area = (wh - 2) * (ww - 2)
 
     def _core(img: jnp.ndarray, ny: int, nx: int, step: int):
@@ -416,8 +339,8 @@ def _make_level_fn(
         nf2 = norm_area * s2 - s1 * s1
         nf = jnp.where(nf2 > 0, jnp.sqrt(jnp.maximum(nf2, 0.0)), 1.0)
 
-        # Phase A: all prefilter stages for every window (backend-
-        # dependent form, see _make_phase_a_fn).
+        # Phase A: all prefilter stages for every window
+        # (see _make_phase_a_fn).
         passed = phase_a(integral, nf, ny, nx, step)
 
         # Phase B: top-K surviving windows -> patch gather -> one matmul.
@@ -504,7 +427,6 @@ def _make_pyramid_fn(
     k_pool_a: int = 8192,
     k_pool_b: int = 1024,
     mid_stages: int = 10,
-    phase_a_mode: Optional[str] = None,
 ):
     """ONE jitted program evaluating a chunk of pyramid levels.
 
@@ -537,6 +459,7 @@ def _make_pyramid_fn(
     side = max(wh, ww) + 1
     n_pf = min(prefilter_stages, cascade.n_stages)
     pf_end = int(cascade.stage_offsets[n_pf])
+    mid_stages = max(mid_stages, prefilter_stages)
     mid_end = int(
         cascade.stage_offsets[min(mid_stages, cascade.n_stages)]
     )
@@ -579,9 +502,7 @@ def _make_pyramid_fn(
         if mid_end < S
         else None
     )
-    phase_a = _make_phase_a_fn(
-        cascade, prefilter_stages, phase_a_mode or _default_phase_a_mode()
-    )
+    phase_a = _make_phase_a_fn(cascade, prefilter_stages)
     corner_mid = jnp.asarray(cascade.corner_matrix[:, pf_end:mid_end])
     corner_tail = (
         jnp.asarray(cascade.corner_matrix[:, mid_end:])
@@ -614,8 +535,8 @@ def _make_pyramid_fn(
         nf2 = norm_area * s2 - s1 * s1
         nf = jnp.where(nf2 > 0, jnp.sqrt(jnp.maximum(nf2, 0.0)), 1.0)
 
-        # Phase A: all prefilter stages for every window (backend-
-        # dependent form, see _make_phase_a_fn).
+        # Phase A: all prefilter stages for every window
+        # (see _make_phase_a_fn).
         passed = phase_a(integral, nf, ny, nx, step)
         # Pad the integral to the stacked (max_h+1, max_w+1) shape so
         # pooled (level, y, x) gathers work across the chunk.
@@ -653,12 +574,14 @@ def _make_pyramid_fn(
         )
 
     def _batch_core(imgs):
-        """Phase A is vmapped per frame; both compaction phases run at
-        BATCH level as one tile-granular gather for the whole batch
-        (ops/pallas_kernels.gather_patches_batch) -- an elementwise
-        (K, 625) gather scalarizes on TPU and was measured at 583 ms
-        per 8x8192-candidate chunk, ~90% of the detector, while the
-        block-slice form runs at HBM bandwidth."""
+        """Phase A is vmapped per frame; the compaction pools run at
+        BATCH level.  Candidate patch gathers lower to a sequential
+        while loop on TPU (~1.8 us per patch, profiler-measured), so
+        the funnel's job is to make the pools SMALL: with the dense
+        prefilter extended through the mid stages (default 10), one
+        ~512-slot pool feeds the tail matmul directly and the old
+        8192-slot mid pool (whose gather alone cost ~440 ms per
+        8-frame batch) disappears."""
         from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
             gather_patches_batch,
         )
@@ -666,6 +589,30 @@ def _make_pyramid_fn(
         bsz = imgs.shape[0]
         passed, nf_all, integrals = jax.vmap(_phase_a_all)(imgs)
         count_a = jnp.sum(passed, axis=1)
+
+        if pf_end >= mid_end:
+            # Dense prefilter covers the mid phase: ONE pool straight
+            # into the tail matmul (count_b1 := count_a for the
+            # caller's overflow-retry contract).
+            _, cand = lax.top_k(passed.astype(jnp.float32), kk_b)
+            ok_a = jnp.take_along_axis(passed, cand, axis=1)
+            lvl_c = jnp.take(lvl_all_j, cand)
+            cy_c = jnp.take(cy_all_j, cand)
+            cx_c = jnp.take(cx_all_j, cand)
+            if corner_tail is None:
+                return ok_a, cx_c, cy_c, lvl_c, count_a, count_a
+            nf_c = jnp.take_along_axis(nf_all, cand, axis=1)
+            patches = gather_patches_batch(
+                integrals, lvl_c, cy_c, cx_c, side
+            ).reshape(bsz * kk_b, side * side)
+            ok = (
+                _stump_stage_test(
+                    patches, nf_c.reshape(-1), corner_tail, st_tail,
+                    l0_tail, l1_tail, oh_tail, sthr_tail,
+                ).reshape(bsz, kk_b)
+                & ok_a
+            )
+            return ok, cx_c, cy_c, lvl_c, count_a, count_a
 
         # Pool 1: chunk-wide compaction of phase-A survivors.
         _, cand = lax.top_k(passed.astype(jnp.float32), kk_a)  # (B, kk_a)
@@ -724,24 +671,37 @@ class HaarDetector:
     def __init__(
         self,
         cascade: Optional[HaarCascade] = None,
-        prefilter_stages: int = 5,
+        prefilter_stages: Optional[int] = None,
         top_k: int = 512,
         fused_pyramid: bool = True,
         k_per_level: int = 512,
         pyramid_chunk: int = 5,
-        phase_a_mode: Optional[str] = None,
     ):
-        # Defaults tuned on 960x544 frames: 5 dense prefilter stages
-        # (136 stumps) cut phase-B candidates enough that K=512 never
-        # truncates in practice and the per-frame cost drops ~5.5x vs
-        # (3, 2048) with identical detections.
+        # Default prefilter depth is a per-backend TUNING choice (the
+        # math is identical either way, and the funnel is exact via
+        # overflow-counts): on accelerators 10 dense stages (436
+        # stumps) -- dense evaluation through the phase planes is
+        # nearly free (DESIGN.md section 7) while every pooled
+        # candidate costs ~1.8 us of sequential patch-gather, so
+        # prefilter deep (~0.1% survivors) and pool ONCE into a
+        # ~512-slot tail matmul.  On CPU 5 stages: the dense FLOPs and
+        # the 3x bigger XLA compiles are real wall time there, and the
+        # two-tier pool keeps the single-core test suite fast.
+        if prefilter_stages is None:
+            try:
+                on_cpu = jax.default_backend() == "cpu"
+            except Exception:
+                on_cpu = False
+            prefilter_stages = 5 if on_cpu else 10
         self.cascade = cascade or load_cascade()
-        self._phase_a_mode = phase_a_mode or _default_phase_a_mode()
         self._level_fn, self._level_fn_batch = _make_level_fn(
-            self.cascade, prefilter_stages, top_k, self._phase_a_mode
+            self.cascade, prefilter_stages, top_k
         )
         self.fused_pyramid = fused_pyramid
         self._prefilter_stages = prefilter_stages
+        self._mid_stages = 10  # _make_pyramid_fn's B1/tail boundary
+        # Deep prefilter covers the mid phase -> single tail pool.
+        self._single_pool = prefilter_stages >= self._mid_stages
         self._k_pool_a = k_per_level * 16  # chunk-wide pool capacities
         self._k_pool_b = k_per_level * 2
         # Levels fused per program: phase A unrolls ~4k HLO ops per
@@ -763,7 +723,6 @@ class HaarDetector:
                 self._prefilter_stages,
                 k_pool_a=ka,
                 k_pool_b=kb,
-                phase_a_mode=self._phase_a_mode,
             )
         return self._pyramid_cache[key]
 
@@ -876,13 +835,26 @@ class HaarDetector:
                 (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
                 for (_, sh, sw, st) in part
             )
-            # Right-size the pools by the chunk's window count: phase-A
-            # survivor rates on real footage are ~1-2% (pool at ~6%),
-            # B1 survivors ~0.1% (pool at ~0.4%).  Exact counts come
-            # back with the results, so an undersized pool costs one
-            # doubled retry -- never a wrong detection.
-            ka = min(self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16)))
-            kb = min(self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256)))
+            # Right-size the pools by the chunk's window count.  With
+            # the deep (10-stage) dense prefilter, survivors on real
+            # footage are ~0.1% (pool at ~0.2%, floor 256); the legacy
+            # shallow prefilter keeps the two-tier capacities.  Exact
+            # counts come back with the results, so an undersized pool
+            # costs one doubled retry -- never a wrong detection.
+            if self._single_pool:
+                kb = min(
+                    self._k_pool_b,
+                    n_pool,
+                    max(256, _next_pow2(n_pool // 512)),
+                )
+                ka = kb
+            else:
+                ka = min(
+                    self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16))
+                )
+                kb = min(
+                    self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256))
+                )
             fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
             outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
             dispatches += 1

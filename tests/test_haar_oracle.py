@@ -114,22 +114,61 @@ def test_fused_program_matches_numpy_cascade(face_region):
     assert got == want
 
 
-def test_phase_a_matmul_equals_unrolled(face_region):
-    """The TPU phase-A form (corner-slice stack + MXU matmul) and the
-    CPU form (unrolled slice+FMA) must produce identical detections --
-    the matmul form is what runs on accelerators, where the full-suite
-    CPU oracle never exercises it."""
+def test_deep_funnel_equals_shallow(face_region):
+    """The deep single-pool funnel (10 dense prefilter stages, the
+    accelerator default) and the shallow two-pool funnel (5 stages,
+    the CPU default) must produce identical detections -- the funnel
+    depth is a tuning knob, never a semantics knob."""
     import cv2
 
     from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
 
     big = cv2.resize(face_region, (256, 192))
-    out = {}
-    for mode in ("matmul", "unrolled"):
-        det = HaarDetector(phase_a_mode=mode)
-        out[mode] = det.detect_multi_scale(big, min_size=(24, 24))
-    assert out["matmul"] == out["unrolled"]
-    assert out["matmul"], "no detections -- fixture region is wrong"
+    shallow = HaarDetector(prefilter_stages=5)
+    deep = HaarDetector(prefilter_stages=10)
+    out_s = shallow.detect_multi_scale(big, min_size=(24, 24))
+    out_d = deep.detect_multi_scale(big, min_size=(24, 24))
+    assert out_s == out_d
+    assert out_s, "no detections on the real face region"
+
+
+def test_phase_planes_equal_direct_grid(face_region):
+    """The stride-2 phase-plane corner reads (the fusible form every
+    backend now uses) must reproduce the direct strided-grid reads
+    bit-for-bit on a real integral image."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_recognization_pca_tpu.detect import haar
+
+    f = face_region.astype(np.float32)
+    integral = jnp.pad(
+        jnp.cumsum(jnp.cumsum(jnp.asarray(f), 0), 1), [(1, 0), (1, 0)]
+    )
+    h, w = f.shape
+    ny, nx = (h - 24) // 2 + 1, (w - 24) // 2 + 1
+
+    @jax.jit
+    def both(integ):
+        planes = haar._phase_planes(integ, 25)
+        outs = []
+        # Max real corner offset is 24 (window is 24x24, y+h <= 24).
+        for (dy, dx) in ((0, 0), (1, 1), (24, 24), (13, 7), (23, 2)):
+            outs.append(
+                (
+                    haar._corner_grid(integ, planes, dy, dx, ny, nx, 2),
+                    jax.lax.slice(
+                        integ,
+                        (dy, dx),
+                        (dy + 2 * (ny - 1) + 1, dx + 2 * (nx - 1) + 1),
+                        (2, 2),
+                    ),
+                )
+            )
+        return outs
+
+    for got, want in both(integral):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_fused_engine_equals_per_level_engine(face_region):
