@@ -131,22 +131,36 @@ class PipelineConfig:
 
     @staticmethod
     def from_json(text: str) -> "PipelineConfig":
+        """Parse a config-tree JSON; unknown keys are an error.
+
+        A flat ``{"faces_root": ...}`` instead of the nested
+        ``{"paths": {"faces_root": ...}}`` must fail loudly -- silently
+        dropping it would run the pipeline with default paths while the
+        user believes they redirected the output.
+        """
         raw = json.loads(text)
 
-        def build(cls, data):
+        def build(cls, data, prefix):
+            known = {f.name for f in dataclasses.fields(cls)}
+            unknown = sorted(set(data) - known)
+            if unknown:
+                raise ValueError(
+                    f"unknown config key(s) {unknown} at {prefix or 'top level'}; "
+                    f"valid keys: {sorted(known)}"
+                )
             kwargs = {}
             for f in dataclasses.fields(cls):
                 if f.name not in data:
                     continue
                 v = data[f.name]
-                if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
-                    v = build(_SUBCONFIGS[f.name], v)
+                if f.name in _SUBCONFIGS:
+                    v = build(_SUBCONFIGS[f.name], v, f"{prefix}{f.name}.")
                 elif isinstance(v, list):
                     v = tuple(v)
                 kwargs[f.name] = v
             return cls(**kwargs)
 
-        return build(PipelineConfig, raw)
+        return build(PipelineConfig, raw, "")
 
 
 _SUBCONFIGS = {

@@ -99,8 +99,21 @@ def test_cli_config_roundtrip(workdir, capsys, monkeypatch, tmp_path):
     p = tmp_path / "cfg.json"
     p.write_text(cfg.to_json())
     back = PipelineConfig.from_json(p.read_text())
+    assert back == cfg  # full-tree round trip, every subconfig
     assert back.detect.template_scales == cfg.detect.template_scales
     assert back.recognize.pca_gate == cfg.recognize.pca_gate
+
+
+def test_cli_config_rejects_unknown_keys():
+    """Misplaced keys must fail loudly, not silently use defaults."""
+    from face_detection_recognization_pca_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="faces_root"):
+        PipelineConfig.from_json('{"faces_root": "/x"}')  # missing "paths" nesting
+    with pytest.raises(ValueError, match=r"paths\."):
+        PipelineConfig.from_json('{"paths": {"face_root": "/x"}}')  # typo
+    ok = PipelineConfig.from_json('{"paths": {"faces_root": "/x"}}')
+    assert ok.paths.faces_root == "/x"
 
 
 def test_cli_bad_args():
