@@ -335,9 +335,25 @@ def bench_haar(
         t0 = time.perf_counter()
         out = det.detect_multi_scale_batch(frames)
         dt = min(dt, time.perf_counter() - t0)
+
+    # Streaming throughput: overlap batch N's packed download + host
+    # grouping with batch N+1's device compute via the device/finish
+    # split -- what a video-scan consumer sustains.  Vary the input per
+    # batch (brightness offset; survivor sets unaffected at +-1e-3) so
+    # tunnel-side repeat-call caching cannot fake the number.
+    depth = max(3, iters)
+    t0 = time.perf_counter()
+    handles = [det.detect_device(frames + 1e-3)]
+    outs2 = []
+    for i in range(1, depth):
+        handles.append(det.detect_device(frames + 1e-3 * (i + 1)))
+        outs2.append(det.detect_finish(handles[i - 1]))
+    outs2.append(det.detect_finish(handles[-1]))
+    dt_pipe = (time.perf_counter() - t0) / depth
     return {
         "haar_fps": round(batch / dt, 1),
         "haar_ms_per_frame": round(dt / batch * 1e3, 3),
+        "haar_pipelined_fps": round(batch / dt_pipe, 1),
         "haar_size": size,
         "haar_frames": source,
         "haar_detected": sum(1 for d in out if d),
@@ -402,8 +418,14 @@ def bench_large_gallery(
     }
 
 
-def _run_budgeted(fn_name: str, budget_s: int) -> dict:
-    """Run a bench function in a subprocess with a wall-clock budget."""
+def _run_budgeted(fn_name: str, budget_s: int, **kwargs) -> dict:
+    """Run a bench function in a subprocess with a wall-clock budget.
+
+    Every bench phase runs in its OWN process, serially: two live jax
+    clients sharing the one remote chip degrade each other severely
+    (measured: sub-benches that finish standalone in 40-300 s blow
+    900 s budgets whenever the parent process still holds a client,
+    even with its buffers freed)."""
     import json
     import subprocess
     import sys
@@ -413,7 +435,7 @@ def _run_budgeted(fn_name: str, budget_s: int) -> dict:
         f"jax.config.update('jax_compilation_cache_dir', {cache_dir()!r}); "
         "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5); "
         f"from face_detection_recognization_pca_tpu.bench import {fn_name}; "
-        f"print('FDRP_BENCH:' + json.dumps({fn_name}()))"
+        f"print('FDRP_BENCH:' + json.dumps({fn_name}(**{kwargs!r})))"
     )
     key = fn_name.replace("bench_", "")
     try:
@@ -432,8 +454,12 @@ def _run_budgeted(fn_name: str, budget_s: int) -> dict:
     return {f"{key}_error": proc.stdout.strip()[-200:]}
 
 
-def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
-              iters: int = 20, warmup: int = 3) -> dict:
+def bench_headline(streams: int = 16, frames_per_iter: int = 1,
+                   size: str = "1080p", iters: int = 20,
+                   warmup: int = 3) -> dict:
+    """The metric of record: fused multi-stream guided detect+recognize
+    throughput, plus the PCA-train secondary.  Runs in its own process
+    under :func:`run_bench` so later phases get the chip alone."""
     from face_detection_recognization_pca_tpu.ops.dft_match import (
         make_circular_correlator,
     )
@@ -490,27 +516,6 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
     jax.block_until_ready(fit(train_x))
     train_wall_s = time.perf_counter() - t1
 
-    # Full-frame numbers of record (VERDICT r1: the guided-window fps
-    # alone is too narrow).  Both run entirely from device-resident
-    # frames; compile cost is excluded from the timed loop.  Each runs
-    # in a BUDGETED SUBPROCESS: first-time compiles of the Haar chunk
-    # programs through the remote tunnel can take >10 min, and the
-    # driver's bench invocation must never hang on them -- a budget
-    # miss records a skip marker instead (the persistent compile cache
-    # makes the next run cheap).
-    #
-    # Free this process's device buffers first: the 1080p frame stack
-    # is ~4 GB of HBM, and a subprocess sharing the one chip while the
-    # parent holds it has been observed to blow its whole budget on
-    # contention.
-    del frames, args, out
-    import gc
-
-    gc.collect()
-    extra: dict = {}
-    extra.update(_run_budgeted("bench_full_frame_detect", 420))
-    extra.update(_run_budgeted("bench_haar", 900))
-    extra.update(_run_budgeted("bench_large_gallery", 300))
     return {
         "metric": f"recognized {size} frames/sec/chip (fused guided detect+project+match, {streams} streams)",
         "value": round(float(fps), 1),
@@ -524,6 +529,43 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
             "min_tm_conf": round(float(tm_conf.min()), 4),
             "pca_train_wall_s_969x4096_k100": round(train_wall_s, 4),
             "device": str(jax.devices()[0]),
-            **extra,
         },
     }
+
+
+def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
+              iters: int = 20, warmup: int = 3) -> dict:
+    """Orchestrate all bench phases, each in its OWN subprocess so each
+    gets the remote chip exclusively (see :func:`_run_budgeted`).  The
+    parent deliberately never initializes a jax backend.
+
+    Full-frame numbers of record (VERDICT r1: the guided-window fps
+    alone is too narrow) run from device-resident frames; compile cost
+    is excluded from the timed loops.  First-time compiles through the
+    remote tunnel can take >10 min, and the driver's bench invocation
+    must never hang on them -- a budget miss records a skip marker
+    instead (the persistent compile cache makes the next run cheap)."""
+    kw = dict(streams=streams, frames_per_iter=frames_per_iter,
+              size=size, iters=iters, warmup=warmup)
+    head = _run_budgeted("bench_headline", 1500, **kw)
+    if "value" not in head:
+        # Budget miss/crash: ONE bounded retry with a bigger budget
+        # (the remote worker takes minutes-long pauses on big compiles
+        # and sometimes restarts; a fresh client usually recovers).
+        # Never retry unbounded -- the driver must not hang.
+        head = _run_budgeted("bench_headline", 2400, **kw)
+    if "value" not in head:
+        head = {
+            "metric": "recognized 1080p frames/sec/chip "
+                      "(fused guided detect+project+match)",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "detail": {"headline_error": str(head)},
+        }
+    extra: dict = {}
+    extra.update(_run_budgeted("bench_full_frame_detect", 600))
+    extra.update(_run_budgeted("bench_haar", 900))
+    extra.update(_run_budgeted("bench_large_gallery", 300))
+    head.setdefault("detail", {}).update(extra)
+    return head

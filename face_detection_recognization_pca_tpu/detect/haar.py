@@ -802,6 +802,29 @@ class HaarDetector:
         ``grays`` may be a jax array already resident on device (no
         host->device copy happens then -- the bench path pre-stages
         frames in HBM because the tunnel moves ~13 MB/s)."""
+        handle = self.detect_device(
+            grays, scale_factor, min_neighbors, min_size, max_size
+        )
+        return self.detect_finish(handle)
+
+    def detect_device(
+        self,
+        grays: np.ndarray,
+        scale_factor: float = 1.1,
+        min_neighbors: int = 5,
+        min_size: Tuple[int, int] = (30, 30),
+        max_size: Optional[Tuple[int, int]] = None,
+    ) -> dict:
+        """Device half of :meth:`detect_multi_scale_batch`: issues the
+        chunk programs + the pack program and returns WITHOUT blocking
+        on the download.  A streaming caller issues the next batch's
+        device half before calling :meth:`detect_finish` on this one,
+        overlapping the packed download + host grouping with device
+        compute (the same split as ``TemplateDetector
+        .detect_fused_device`` -- through the remote tunnel a blocking
+        download costs ~30-80 ms per batch).
+
+        Returns an opaque handle dict for :meth:`detect_finish`."""
         if not isinstance(grays, jnp.ndarray):
             grays = np.asarray(grays)
         nb, h, w = grays.shape
@@ -810,11 +833,12 @@ class HaarDetector:
             h, w, (wh, ww), scale_factor, min_size, max_size
         )
         if not levels:
-            return [[] for _ in range(nb)]
+            return {"empty": nb, "min_neighbors": min_neighbors}
         if not self.fused_pyramid:
-            return self._detect_batch_per_level(
-                grays, levels, min_neighbors
-            )
+            return {
+                "per_level": (grays, levels, min_neighbors),
+                "min_neighbors": min_neighbors,
+            }
 
         frames_j = (
             grays.astype(jnp.float32)
@@ -822,7 +846,6 @@ class HaarDetector:
             else jnp.asarray(grays.astype(np.float32))
         )
         chunk = max(1, self.pyramid_chunk)
-        raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
         dispatches = 0
         # Phase 1 (device): run every chunk, results stay on device --
         # the remote tunnel costs ~30-80 ms per transfer, so one packed
@@ -861,15 +884,45 @@ class HaarDetector:
             chunk_meta.append((c0, n_pool, ka, kb, int(outs[0].shape[1])))
             device_out.append(outs)
 
-        # Phase 2: ONE jitted pack program for all chunk outputs + ONE
-        # download (candidate slots f32 + per-chunk counts appended as
-        # trailing rows).  Per-call jnp.stack/concatenate on the host
-        # side would each be a separate tiny dispatch -- at ~10-30 ms
-        # tunnel round-trip each, the packing dominated the detector.
+        # Phase 2: ONE jitted pack program for all chunk outputs (the
+        # download itself happens in detect_finish).  Per-call
+        # jnp.stack/concatenate on the host side would each be a
+        # separate tiny dispatch -- at ~10-30 ms tunnel round-trip
+        # each, the packing dominated the detector.
         pack_fn = self._get_pack_fn(tuple(m[0] for m in chunk_meta))
         dispatches += 1
+        return {
+            "packed_d": pack_fn(tuple(device_out)),
+            "chunk_meta": chunk_meta,
+            "levels": levels,
+            "frames_j": frames_j,
+            "nb": nb,
+            "chunk": chunk,
+            "min_neighbors": min_neighbors,
+            "dispatches": dispatches,
+        }
+
+    def detect_finish(
+        self, handle: dict
+    ) -> List[List[Tuple[int, int, int, int]]]:
+        """Host half: download the packed candidates, re-run any chunk
+        whose pools truncated (exactness contract), unpack and group."""
+        if "empty" in handle:
+            return [[] for _ in range(handle["empty"])]
+        if "per_level" in handle:
+            grays, levels, min_neighbors = handle["per_level"]
+            return self._detect_batch_per_level(grays, levels, min_neighbors)
+        chunk_meta = handle["chunk_meta"]
+        levels = handle["levels"]
+        frames_j = handle["frames_j"]
+        nb = handle["nb"]
+        chunk = handle["chunk"]
+        min_neighbors = handle["min_neighbors"]
+        dispatches = handle["dispatches"]
+        wh, ww = self.cascade.window_size
+        raw: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nb)]
         n_chunks = len(chunk_meta)
-        arr = np.asarray(pack_fn(tuple(device_out)))
+        arr = np.asarray(handle["packed_d"])
         packed = arr[:, :-n_chunks]  # (B, sum_K, 4)
         counts = arr[:, -n_chunks:, :2]  # (B, n_chunks, 2)
 
