@@ -340,8 +340,10 @@ def bench_haar(
     # grouping with batch N+1's device compute via the device/finish
     # split -- what a video-scan consumer sustains.  Vary the input per
     # batch (brightness offset; survivor sets unaffected at +-1e-3) so
-    # tunnel-side repeat-call caching cannot fake the number.
-    depth = max(3, iters)
+    # tunnel-side repeat-call caching cannot fake the number.  Depth 6:
+    # measured 20 fps at depth 2 vs 54 fps at depth 4 (the pipeline
+    # needs a few batches in flight to hide the download).
+    depth = max(6, iters)
     t0 = time.perf_counter()
     handles = [det.detect_device(frames + 1e-3)]
     outs2 = []
@@ -392,17 +394,28 @@ def bench_large_gallery(
         return gallery_match_pallas(feats * s, gallery_t, gnorm)
 
     def run(fn, *args):
-        # Vary the input per call (cosine is scale-invariant, ids
-        # unchanged): the tunnel dedups repeated identical (program,
-        # args) calls and returns in ~0.03 ms, faking the timing.
-        out = fn(*args, 1.0)
+        # Chain the calls: call i+1's scalar input depends on call i's
+        # output, so every execution is forced before the final block.
+        # Per-call blocked timing through the remote tunnel reads
+        # 0.03-0.15 ms for this shape -- physically impossible (the
+        # 67 MB gallery read alone costs ~82 us at v5e HBM bandwidth);
+        # the tunnel acks fetches of lazily-elided work.  Chained x30
+        # measures ~0.21 ms/call (164 TFLOP/s effective -- plausible
+        # bf16 MXU).  Scale variation keeps ids/conf unchanged (cosine
+        # is scale-invariant).
+        out = fn(*args, jnp.float32(1.0))
         jax.block_until_ready(out)
+        reps = iters * 3
+        s = 1.0 + out[1][0] * 1e-12  # warm the chaining scalar program
+        jax.block_until_ready(fn(*args, s))
         dt = float("inf")
-        for i in range(iters):
+        for _ in range(3):  # best of 3 windows (tunnel noise ~2x)
             t0 = time.perf_counter()
-            out = fn(*args, 1.0 + 1e-6 * (i + 1))
-            jax.block_until_ready(out)
-            dt = min(dt, time.perf_counter() - t0)
+            for i in range(reps):
+                out = fn(*args, s)
+                s = 1.0 + 1e-6 * i + out[1][0] * 1e-12
+            jax.block_until_ready(s)
+            dt = min(dt, (time.perf_counter() - t0) / reps)
         return dt, out
 
     t_xla, (ids_x, best_x) = run(xla_match, feats, gallery)
@@ -416,6 +429,35 @@ def bench_large_gallery(
         "large_gallery_crops_per_s": round(b / t_pl, 1),
         "large_gallery_ids_agree": agree,
     }
+
+
+def _wait_for_worker(max_wait_s: int = 900) -> None:
+    """Block until the remote worker answers a trivial op quickly.
+
+    Killing a client mid-flight (a budget timeout) leaves the remote
+    worker wedged for ~10 minutes (measured: the next client's first
+    op took 932 s right after a kill, 0.2 s once drained).  Launching
+    the next bench phase into that wedge makes every later budget miss
+    too -- so after any kill, probe until the worker drains."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "jax.block_until_ready(jnp.ones((8, 128)) * 2)"
+    )
+    t_end = time.time() + max_wait_s
+    while time.time() < t_end:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=60,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            return
+        except subprocess.TimeoutExpired:
+            continue
 
 
 def _run_budgeted(fn_name: str, budget_s: int, **kwargs) -> dict:
@@ -447,6 +489,9 @@ def _run_budgeted(fn_name: str, budget_s: int, **kwargs) -> dict:
             timeout=budget_s,
         )
     except subprocess.TimeoutExpired:
+        # The kill above wedges the worker; drain it so the NEXT phase
+        # doesn't inherit a dead chip (see _wait_for_worker).
+        _wait_for_worker()
         return {f"{key}_skipped": f"exceeded {budget_s}s budget (cold compile)"}
     for line in proc.stdout.splitlines():
         if line.startswith("FDRP_BENCH:"):
@@ -566,6 +611,6 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
     extra: dict = {}
     extra.update(_run_budgeted("bench_full_frame_detect", 600))
     extra.update(_run_budgeted("bench_haar", 900))
-    extra.update(_run_budgeted("bench_large_gallery", 300))
+    extra.update(_run_budgeted("bench_large_gallery", 450))
     head.setdefault("detail", {}).update(extra)
     return head

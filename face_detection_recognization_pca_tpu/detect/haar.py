@@ -891,8 +891,17 @@ class HaarDetector:
         # each, the packing dominated the detector.
         pack_fn = self._get_pack_fn(tuple(m[0] for m in chunk_meta))
         dispatches += 1
+        packed_d = pack_fn(tuple(device_out))
+        # Start the device->host copy NOW (non-blocking): by the time
+        # detect_finish blocks in np.asarray the bytes are already in
+        # flight, so a pipelined caller's download overlaps the next
+        # batch's compute instead of queueing behind it.
+        try:
+            packed_d.copy_to_host_async()
+        except AttributeError:
+            pass
         return {
-            "packed_d": pack_fn(tuple(device_out)),
+            "packed_d": packed_d,
             "chunk_meta": chunk_meta,
             "levels": levels,
             "frames_j": frames_j,
