@@ -575,13 +575,15 @@ def _make_pyramid_fn(
 
     def _batch_core(imgs):
         """Phase A is vmapped per frame; the compaction pools run at
-        BATCH level.  Candidate patch gathers lower to a sequential
-        while loop on TPU (~1.8 us per patch, profiler-measured), so
-        the funnel's job is to make the pools SMALL: with the dense
-        prefilter extended through the mid stages (default 10), one
-        ~512-slot pool feeds the tail matmul directly and the old
-        8192-slot mid pool (whose gather alone cost ~440 ms per
-        8-frame batch) disappears."""
+        BATCH level.  Every candidate-indexed dynamic slice lowers to
+        one iteration of a sequential Mosaic while loop at ~1-3 us
+        regardless of slice size (profiler-measured), so the funnel's
+        job is to make the pools SMALL: with the dense prefilter
+        extended through the mid stages (default 10), one ~512-slot
+        pool feeds the tail matmul directly and the old 8192-slot mid
+        pool (whose gather alone cost ~440 ms per 8-frame batch)
+        disappears.  The gather itself uses the row-block + one-hot
+        form on accelerators (ops/pallas_kernels.gather_patches)."""
         from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
             gather_patches_batch,
         )

@@ -353,25 +353,70 @@ def gather_patches(
     cx: jnp.ndarray,  # (K,) i32
     side: int,
 ) -> jnp.ndarray:
-    """(K, side, side) patches at (lvl, cy, cx) -- XLA block-slice form.
+    """(K, side, side) patches at (lvl, cy, cx).
 
-    ``vmap(dynamic_slice)``, NOT fancy indexing: the elementwise gather
-    of K x side^2 scattered entries scalarizes on TPU (measured 583 ms
-    for 8x8192x625 f32 on v5e -- ~90% of the whole Haar detector),
-    while this form lowers to a gather of contiguous ``(1, side, side)``
-    tiles that runs at HBM speed (0.07 ms for 8x2048x625, ~585 GB/s,
-    measured on v5e).  A Pallas DMA variant was tried and rejected:
-    Mosaic requires DMA slice shapes tile-aligned to (8, 128), so a
-    25x25 copy cannot compile, and an aligned (32, 256) copy moves 13x
-    the bytes (measured 42 ms for the same gather as XLA slices).
+    Two forms, both exact; the fork is a per-backend TUNING choice made
+    at trace time:
+
+    * **Accelerators**: one ``vmap(dynamic_slice)`` of contiguous
+      ``(1, side, W)`` ROW BLOCKS, then the per-candidate column window
+      selected by a one-hot matmul at HIGHEST precision (exact: each
+      output element is one value times 1.0 plus zeros).  Every
+      candidate-indexed dynamic slice lowers to one iteration of a
+      sequential Mosaic ``while`` loop at ~1-3 us REGARDLESS of slice
+      size (profiler-measured: the (1,25,25)-tile form spent 65 ms of
+      a 178 ms 8-frame Haar batch in that loop), so the win is one
+      loop instead of two and cheap iterations: 4.7 ms vs 10.7 ms for
+      8x512 patches from (5,545,961) f32 on v5e, honest chained-call
+      timing (scripts_dev/probe_gather3.py; earlier "HBM-speed"
+      numbers here were tunnel repeat-call-dedup artifacts).
+    * **CPU**: the direct ``(1, side, side)`` tile slice -- XLA:CPU
+      lowers it to memcpys, and the one-hot matmul would be pure
+      overhead (the test suite runs here).
+
+    A Pallas DMA variant was tried and rejected: Mosaic requires DMA
+    slice shapes tile-aligned to (8, 128), so a 25x25 copy cannot
+    compile, and an aligned (32, 256) copy moves 13x the bytes.
     """
+    if jax.default_backend() == "cpu":
 
-    def one(l, y, x):
+        def one(l, y, x):
+            return jax.lax.dynamic_slice(
+                integrals, (l, y, x), (1, side, side)
+            )[0]
+
+        return jax.vmap(one)(lvl, cy, cx)
+
+    return _gather_patches_rowblock(integrals, lvl, cy, cx, side)
+
+
+def _gather_patches_rowblock(
+    integrals: jnp.ndarray,
+    lvl: jnp.ndarray,
+    cy: jnp.ndarray,
+    cx: jnp.ndarray,
+    side: int,
+) -> jnp.ndarray:
+    """Accelerator form of :func:`gather_patches` (exact on any backend)."""
+    w = integrals.shape[-1]
+    k = lvl.shape[0]
+
+    def rows_of(l, y):
         return jax.lax.dynamic_slice(
-            integrals, (l, y, x), (1, side, side)
+            integrals, (l, y, jnp.zeros((), l.dtype)), (1, side, w)
         )[0]
 
-    return jax.vmap(one)(lvl, cy, cx)
+    rows = jax.vmap(rows_of)(lvl, cy)  # (K, side, W)
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, w, side), 1)
+    t = jax.lax.broadcasted_iota(jnp.int32, (k, w, side), 2)
+    oh = (j == cx[:, None, None] + t).astype(integrals.dtype)
+    return jax.lax.dot_general(
+        rows,
+        oh,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=integrals.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, side, side)
 
 
 def gather_patches_batch(
@@ -382,9 +427,7 @@ def gather_patches_batch(
     side: int,
 ) -> jnp.ndarray:
     """(B, K, side, side) patches: :func:`gather_patches` over a batch
-    axis.  This lowers to one tile-granular XLA gather for the whole
-    batch -- memory-bound at HBM bandwidth on v5e, so there is nothing
-    left for a custom kernel to win (see :func:`gather_patches`)."""
+    axis (the backend-tuned form fork happens inside)."""
     return jax.vmap(
         lambda ig, l_, y_, x_: gather_patches(ig, l_, y_, x_, side)
     )(integrals, lvl, cy, cx)

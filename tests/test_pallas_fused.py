@@ -194,3 +194,33 @@ def test_sharded_gallery_match_pallas_path_matches_xla(rng):
     )
     assert int(np.asarray(ids_xla)[0]) == 77
     assert float(np.asarray(conf_xla)[0]) > 0.999
+
+
+def test_gather_patches_rowblock_matches_slice_form(rng):
+    """The accelerator gather (row-block slices + one-hot column matmul
+    at HIGHEST precision) must be bit-identical to the direct tile
+    slice -- the Haar funnel's exactness contract rides on it."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
+        _gather_patches_rowblock,
+        gather_patches,
+    )
+
+    L, H, W, side, k = 3, 61, 97, 25, 64
+    integrals = jnp.asarray(
+        np.cumsum(
+            np.cumsum(rng.normal(110, 25, (L, H, W)).astype(np.float32), 1), 2
+        )
+    )
+    lvl = jnp.asarray(rng.integers(0, L, k).astype(np.int32))
+    cy = jnp.asarray(rng.integers(0, H - side + 1, k).astype(np.int32))
+    cx = jnp.asarray(rng.integers(0, W - side + 1, k).astype(np.int32))
+    ref = np.asarray(gather_patches(integrals, lvl, cy, cx, side))
+    got = np.asarray(
+        jax.jit(
+            lambda *a: _gather_patches_rowblock(*a, side)
+        )(integrals, lvl, cy, cx)
+    )
+    np.testing.assert_array_equal(ref, got)
