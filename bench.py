@@ -21,7 +21,9 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    streams = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # streams=24 measured best on v5e: 139.4k fps vs 128.1k at 16 and
+    # 132.5k at 32 (scripts_dev/probe_headline_scale.py, this round).
+    streams = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     out = run_bench(streams=streams)
     detail = out.pop("detail", None)
     if detail:

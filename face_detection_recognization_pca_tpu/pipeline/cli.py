@@ -22,7 +22,22 @@ def _load_config(path) -> PipelineConfig:
         return PipelineConfig.from_json(f.read())
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI invocation.
+
+    The detector's fused pyramid programs compile for minutes (remote
+    TPU tunnel or the 1-core CPU here); without the cache every ``fdrp``
+    run pays that again.  Same location as bench.py."""
+    import jax
+
+    from face_detection_recognization_pca_tpu.bench import cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(
         prog="fdrp",
         description="TPU-native eigenfaces face detection + recognition",
