@@ -30,32 +30,40 @@ _COEF_BITS = 11
 _COEF_SCALE = 1 << _COEF_BITS  # 2048
 
 
-def _fixed_point_coeffs(src: int, dst: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-output-index source indices + fixed-point weights, cv2-style."""
+def _fixed_point_coeffs(
+    src: int, dst: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-output-index source index pair + fixed-point weights, cv2-style.
+
+    Border semantics (verified against OpenCV 5.0 pixel-for-pixel): the
+    fractional weight is NOT zeroed at clamped borders.  cv2 keeps the
+    split pair ``(2048-r, r)`` computed from the unclamped fraction and
+    clamps both source indices onto the border row, so the extrapolated
+    value is ``(w0+w1)*p`` -- same real value, but in the vertical
+    uint8 path each term truncates separately at ``>>16``, which loses
+    1 LSB on ~0.1% of border pixels relative to a single 2048-weight
+    term.  Returns ``(s0, s1, w0, w1)`` with both indices pre-clamped.
+    """
     scale = src / dst  # double, like cv2
     d = np.arange(dst, dtype=np.float64)
     f = ((d + 0.5) * scale - 0.5).astype(np.float32)
     s = np.floor(f).astype(np.int64)
     f = f - s
-    # Border handling: clamp index, zero the out-of-range weight.
-    f = np.where(s < 0, np.float32(0.0), f)
-    s = np.maximum(s, 0)
-    f = np.where(s >= src - 1, np.float32(0.0), f)
-    s = np.minimum(s, src - 1)
-    # cvRound == round-half-to-even on the float32 product.
+    s0 = np.clip(s, 0, src - 1).astype(np.int32)
+    s1 = np.clip(s + 1, 0, src - 1).astype(np.int32)
+    # cvRound == round-half-to-even on the float32 product; cv2 rounds
+    # the two coefficients independently.
     w1 = np.rint((f * _COEF_SCALE).astype(np.float32)).astype(np.int32)
     w0 = np.rint(((1.0 - f) * _COEF_SCALE).astype(np.float32)).astype(np.int32)
-    return s.astype(np.int32), w0, w1
+    return s0, s1, w0, w1
 
 
 @functools.partial(jnp.vectorize, excluded=(1,), signature="(h,w)->(p,q)")
 def _resize_u8_exact_2d(img: jnp.ndarray, dsize: Tuple[int, int]) -> jnp.ndarray:
     dw, dh = dsize
     sh, sw = img.shape
-    sx, ax0, ax1 = _fixed_point_coeffs(sw, dw)
-    sy, by0, by1 = _fixed_point_coeffs(sh, dh)
-    sx1 = np.minimum(sx + 1, sw - 1)
-    sy1 = np.minimum(sy + 1, sh - 1)
+    sx, sx1, ax0, ax1 = _fixed_point_coeffs(sw, dw)
+    sy, sy1, by0, by1 = _fixed_point_coeffs(sh, dh)
 
     x = img.astype(jnp.int32)
     # Horizontal pass: int32 rows of a0*p0 + a1*p1 (<= 2049*255, fits easily).
@@ -77,14 +85,13 @@ def _resize_u8_exact_2d(img: jnp.ndarray, dsize: Tuple[int, int]) -> jnp.ndarray
 def resize_bilinear_u8_exact(img: jnp.ndarray, dsize: Tuple[int, int]) -> jnp.ndarray:
     """``cv2.resize(img, dsize)`` (INTER_LINEAR) for uint8 grayscale images.
 
-    Bit-exact against OpenCV 5.0 for downscales, same-size, and
-    pure-horizontal resizes (validated over randomized sweeps -- these
-    cover every parity-critical path in the pipeline: crop->64x64,
-    crop->100x100, template 0.8x).  Upscales agree except ~0.1% of
-    pixels that differ by 1 LSB (OpenCV's vertical SIMD border handling
-    for extrapolated rows is not bit-reproducible from the public
-    algorithm; the reference's pinned 4.8.1 differs from 5.0 at the
-    same magnitude).
+    Bit-exact against OpenCV 5.0 in both directions (validated over
+    randomized up/down/mixed sweeps -- these cover every parity path in
+    the pipeline: crop->64x64, crop->100x100, template 0.8x, and
+    upscaled small crops).  The subtle part is border extrapolation:
+    cv2 keeps SPLIT fractional weights at clamped rows, and the
+    vertical pass's two separate ``>>16`` truncations occasionally land
+    1 LSB below a single 2048-weight term -- emulated exactly here.
 
     Args:
       img: uint8 array ``(..., H, W)``.

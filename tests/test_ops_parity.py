@@ -40,19 +40,19 @@ def test_gray_float_within_one_lsb(rng):
         ((120, 80), (100, 100)),  # mixed up/down
         ((100, 100), (100, 100)),  # identity
         ((37, 311), (64, 64)),
+        ((30, 30), (64, 64)),  # pure upscale (border rows extrapolate)
+        ((10, 10), (64, 64)),  # extreme upscale: many clamped rows
+        ((48, 48), (120, 40)),  # vertical upscale, horizontal downscale
+        ((20, 20), (60, 60)),  # 3x: interior rows with exactly-zero frac
     ],
 )
 def test_resize_u8_exact_downscale(rng, ssize, dsize):
     img = rng.integers(0, 256, ssize, dtype=np.uint8)
     ours = np.asarray(resize_bilinear_u8_exact(img, dsize))
     ref = cv2.resize(img, dsize)
-    if dsize[0] <= ssize[1] and dsize[1] <= ssize[0]:
-        np.testing.assert_array_equal(ours, ref)
-    else:
-        # Upscale: cv2 5.0's SIMD border rows differ by <=1 LSB on ~0.1%.
-        diff = np.abs(ours.astype(int) - ref.astype(int))
-        assert diff.max() <= 1
-        assert (diff > 0).mean() < 0.01
+    # Bit-exact in BOTH directions: cv2 keeps split fractional weights
+    # at clamped borders (see ops.resize._fixed_point_coeffs).
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_resize_u8_batched(rng):
