@@ -427,6 +427,7 @@ def _make_pyramid_fn(
     k_pool_a: int = 8192,
     k_pool_b: int = 1024,
     mid_stages: int = 10,
+    group: int = 1,
 ):
     """ONE jitted program evaluating a chunk of pyramid levels.
 
@@ -451,6 +452,20 @@ def _make_pyramid_fn(
     Exactness: survivor *counts* after A and B1 are returned; the
     caller falls back to the per-level engine whenever a pool would
     truncate, so published detections never depend on pool capacity.
+
+    ``group`` (deep-prefilter funnel only): the dominant cost of the
+    deep-prefilter program is NOT the dense stump math (~0.2 ms for an
+    8-frame 338k-window chunk) but ``lax.top_k`` over the survivor
+    plane (profiler-measured 61 ms of a 67 ms chunk on v5e,
+    scripts_dev/probe_haar_phases.py).  With ``group=G`` the expensive
+    top_k runs over per-G-block ANY flags (n_pool/G entries); a second
+    CHEAP top_k over the selected blocks' ``k_pool_a * G`` individual
+    pass bits then compacts to ``k_pool_b`` window slots, so the
+    gather/tail-matmul stage sees the same slot count as the ungrouped
+    form.  Survivor sets are unchanged whenever neither pool truncates:
+    ``count_a`` is survivor BLOCKS (cap ``k_pool_a``), ``count_b1`` is
+    survivor windows inside the selected blocks (cap ``k_pool_b``) --
+    the caller's overflow-retry contract covers both.
 
     Returns (ok, cx, cy, level_id, count_a, count_b1) with ``k_pool_b``
     candidate slots in level-local coordinates.
@@ -552,12 +567,26 @@ def _make_pyramid_fn(
     st_tail = jnp.asarray(st[mid_end:])
     l0_tail = jnp.asarray(l0[mid_end:])
     l1_tail = jnp.asarray(l1[mid_end:])
+    n_pool = int(lvl_all.shape[0])
+    if group > 1 and pf_end < mid_end:
+        raise ValueError("group pooling applies to the single-pool funnel only")
+    n_blk = -(-n_pool // group)
+    pad_n = n_blk * group - n_pool
+    if pad_n:
+        # Padded slots never pass (their mask bits are padded False);
+        # index maps get safe in-range targets.
+        lvl_all = np.pad(lvl_all, (0, pad_n))
+        cy_all = np.pad(cy_all, (0, pad_n))
+        cx_all = np.pad(cx_all, (0, pad_n))
     lvl_all_j = jnp.asarray(lvl_all)
     cy_all_j = jnp.asarray(cy_all)
     cx_all_j = jnp.asarray(cx_all)
-    n_pool = int(lvl_all.shape[0])
-    kk_a = min(k_pool_a, n_pool)
-    kk_b = min(k_pool_b, kk_a)
+    if group == 1:
+        kk_a = min(k_pool_a, n_pool)
+        kk_b = min(k_pool_b, kk_a)
+    else:
+        kk_a = min(k_pool_a, n_blk)  # block pool
+        kk_b = min(k_pool_b, kk_a * group)  # window slots
 
     def _phase_a_all(img):
         pass_l, nf_l, int_l = [], [], []
@@ -590,31 +619,64 @@ def _make_pyramid_fn(
 
         bsz = imgs.shape[0]
         passed, nf_all, integrals = jax.vmap(_phase_a_all)(imgs)
-        count_a = jnp.sum(passed, axis=1)
 
         if pf_end >= mid_end:
             # Dense prefilter covers the mid phase: ONE pool straight
             # into the tail matmul (count_b1 := count_a for the
             # caller's overflow-retry contract).
-            _, cand = lax.top_k(passed.astype(jnp.float32), kk_b)
-            ok_a = jnp.take_along_axis(passed, cand, axis=1)
+            if group > 1:
+                # Block-pooled compaction: the EXPENSIVE top_k runs
+                # over per-block ANY flags (n_pool/G entries -- over
+                # the raw survivor plane it was ~90% of the chunk
+                # program); a second cheap top_k over the selected
+                # blocks' kk_a*G pass bits compacts back to kk_b
+                # window slots so the gather/tail stage is unchanged.
+                if pad_n:
+                    passed = jnp.pad(passed, ((0, 0), (0, pad_n)))
+                    nf_all = jnp.pad(
+                        nf_all, ((0, 0), (0, pad_n)), constant_values=1.0
+                    )
+                blk_any = jnp.any(
+                    passed.reshape(bsz, n_blk, group), axis=2
+                )
+                count_a = jnp.sum(blk_any, axis=1)  # survivor blocks
+                _, bcand = lax.top_k(blk_any.astype(jnp.float32), kk_a)
+                cand_w = (
+                    bcand[:, :, None] * group
+                    + jnp.arange(group, dtype=bcand.dtype)[None, None, :]
+                ).reshape(bsz, kk_a * group)
+                ok_w = jnp.take_along_axis(passed, cand_w, axis=1)
+                count_b1 = jnp.sum(ok_w, axis=1)  # survivor windows
+                if kk_b < kk_a * group:
+                    _, sub = lax.top_k(ok_w.astype(jnp.float32), kk_b)
+                    cand = jnp.take_along_axis(cand_w, sub, axis=1)
+                    ok_a = jnp.take_along_axis(ok_w, sub, axis=1)
+                else:
+                    cand, ok_a = cand_w, ok_w
+            else:
+                count_a = jnp.sum(passed, axis=1)
+                _, cand = lax.top_k(passed.astype(jnp.float32), kk_b)
+                ok_a = jnp.take_along_axis(passed, cand, axis=1)
+                count_b1 = count_a
+            n_slots = int(cand.shape[1])
             lvl_c = jnp.take(lvl_all_j, cand)
             cy_c = jnp.take(cy_all_j, cand)
             cx_c = jnp.take(cx_all_j, cand)
             if corner_tail is None:
-                return ok_a, cx_c, cy_c, lvl_c, count_a, count_a
+                return ok_a, cx_c, cy_c, lvl_c, count_a, count_b1
             nf_c = jnp.take_along_axis(nf_all, cand, axis=1)
             patches = gather_patches_batch(
                 integrals, lvl_c, cy_c, cx_c, side
-            ).reshape(bsz * kk_b, side * side)
+            ).reshape(bsz * n_slots, side * side)
             ok = (
                 _stump_stage_test(
                     patches, nf_c.reshape(-1), corner_tail, st_tail,
                     l0_tail, l1_tail, oh_tail, sthr_tail,
-                ).reshape(bsz, kk_b)
+                ).reshape(bsz, n_slots)
                 & ok_a
             )
-            return ok, cx_c, cy_c, lvl_c, count_a, count_a
+            return ok, cx_c, cy_c, lvl_c, count_a, count_b1
+        count_a = jnp.sum(passed, axis=1)
 
         # Pool 1: chunk-wide compaction of phase-A survivors.
         _, cand = lax.top_k(passed.astype(jnp.float32), kk_a)  # (B, kk_a)
@@ -704,6 +766,11 @@ class HaarDetector:
         self._mid_stages = 10  # _make_pyramid_fn's B1/tail boundary
         # Deep prefilter covers the mid phase -> single tail pool.
         self._single_pool = prefilter_stages >= self._mid_stages
+        # Block-pooled compaction (single-pool only): top_k over
+        # per-8-window ANY flags instead of the raw survivor plane --
+        # the raw top_k was ~90% of a big chunk program (see
+        # _make_pyramid_fn).  Pool capacities are then in block units.
+        self._pool_group = 8 if self._single_pool else 1
         self._k_pool_a = k_per_level * 16  # chunk-wide pool capacities
         self._k_pool_b = k_per_level * 2
         # Levels fused per program: phase A unrolls ~4k HLO ops per
@@ -717,7 +784,7 @@ class HaarDetector:
         self.last_dispatches = 0  # device calls in the last detect call
 
     def _get_pyramid_fn(self, levels, ka, kb):
-        key = (tuple(levels), ka, kb)
+        key = (tuple(levels), ka, kb, self._pool_group)
         if key not in self._pyramid_cache:
             self._pyramid_cache[key] = _make_pyramid_fn(
                 self.cascade,
@@ -725,6 +792,7 @@ class HaarDetector:
                 self._prefilter_stages,
                 k_pool_a=ka,
                 k_pool_b=kb,
+                group=self._pool_group,
             )
         return self._pyramid_cache[key]
 
@@ -852,7 +920,7 @@ class HaarDetector:
         # Phase 1 (device): run every chunk, results stay on device --
         # the remote tunnel costs ~30-80 ms per transfer, so one packed
         # download for the whole pyramid beats 5 arrays x 6 chunks.
-        chunk_meta = []  # (c0, n_pool, kk_a, kk_b)
+        chunk_meta = []  # (c0, pool cap, kk_a, kk_b, slot width)
         device_out = []  # per chunk: (ok, cx, cy, lid, count_a, count_b1)
         for c0 in range(0, len(levels), chunk):
             part = levels[c0 : c0 + chunk]
@@ -862,18 +930,28 @@ class HaarDetector:
             )
             # Right-size the pools by the chunk's window count.  With
             # the deep (10-stage) dense prefilter, survivors on real
-            # footage are ~0.1% (pool at ~0.2%, floor 256); the legacy
-            # shallow prefilter keeps the two-tier capacities.  Exact
-            # counts come back with the results, so an undersized pool
-            # costs one doubled retry -- never a wrong detection.
+            # footage are ~0.1% (pool at ~0.2%); the legacy shallow
+            # prefilter keeps the two-tier capacities.  Exact counts
+            # come back with the results, so an undersized pool costs
+            # one doubled retry -- never a wrong detection.
             if self._single_pool:
+                # Grouped two-pool sizing: ka = block pool (survivor
+                # blocks <= survivor windows, so the old window floor
+                # is safe), kb = window slots (same sizing as the old
+                # single pool -- gather/tail cost unchanged).
+                cap = -(-n_pool // self._pool_group)
+                ka = min(
+                    self._k_pool_a,
+                    cap,
+                    max(256, _next_pow2(n_pool // 1024)),
+                )
                 kb = min(
                     self._k_pool_b,
-                    n_pool,
+                    ka * self._pool_group,
                     max(256, _next_pow2(n_pool // 512)),
                 )
-                ka = kb
             else:
+                cap = n_pool
                 ka = min(
                     self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16))
                 )
@@ -883,7 +961,7 @@ class HaarDetector:
             fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
             outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
             dispatches += 1
-            chunk_meta.append((c0, n_pool, ka, kb, int(outs[0].shape[1])))
+            chunk_meta.append((c0, cap, ka, kb, int(outs[0].shape[1])))
             device_out.append(outs)
 
         # Phase 2: ONE jitted pack program for all chunk outputs (the
@@ -938,13 +1016,16 @@ class HaarDetector:
         counts = arr[:, -n_chunks:, :2]  # (B, n_chunks, 2)
 
         # Exactness check: re-run any chunk whose pools truncated with
-        # doubled capacity (new program, cached) until exact.
-        for ci, (c0, n_pool, ka, kb, width) in enumerate(chunk_meta):
-            trunc_a = ka < n_pool and np.any(counts[:, ci, 0] > ka)
-            trunc_b = kb < ka and np.any(counts[:, ci, 1] > kb)
+        # doubled capacity (new program, cached) until exact.  ``cap``
+        # and the counts are in block units for the single-pool funnel
+        # (window units otherwise) -- same contract either way.
+        g = self._pool_group
+        for ci, (c0, cap, ka, kb, width) in enumerate(chunk_meta):
+            trunc_a = ka < cap and np.any(counts[:, ci, 0] > ka)
+            trunc_b = kb < ka * g and np.any(counts[:, ci, 1] > kb)
             while trunc_a or trunc_b:
-                ka = min(ka * 2, n_pool)
-                kb = min(kb * 2, ka)
+                ka = min(ka * 2, cap)
+                kb = min(kb * 2, ka * g)
                 part = levels[c0 : c0 + chunk]
                 fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
                 outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
@@ -983,9 +1064,9 @@ class HaarDetector:
                     ],
                     axis=1,
                 )
-                chunk_meta[ci] = (c0, n_pool, ka, kb, redo.shape[1])
-                trunc_a = ka < n_pool and np.any(na > ka)
-                trunc_b = kb < ka and np.any(nb1 > kb)
+                chunk_meta[ci] = (c0, cap, ka, kb, redo.shape[1])
+                trunc_a = ka < cap and np.any(na > ka)
+                trunc_b = kb < ka * g and np.any(nb1 > kb)
 
         for b in range(nb):
             sel = packed[b]

@@ -51,8 +51,11 @@ def main(batch: int = 8) -> None:
             (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
             for (_, sh, sw, st) in part
         )
-        kb = min(det._k_pool_b, n_pool, max(256, _next_pow2(n_pool // 512)))
-        fn_one, fn_batch = det._get_pyramid_fn(tuple(part), kb, kb)
+        cap = -(-n_pool // det._pool_group)
+        ka = min(det._k_pool_a, cap, max(256, _next_pow2(n_pool // 1024)))
+        kb = min(det._k_pool_b, ka * det._pool_group,
+                 max(256, _next_pow2(n_pool // 512)))
+        fn_one, fn_batch = det._get_pyramid_fn(tuple(part), ka, kb)
         t0 = time.perf_counter()
         out = fn_batch(frames)
         jax.block_until_ready(out)
