@@ -286,11 +286,17 @@ def bench_full_frame_detect(
 
 
 def bench_haar(
-    batch: int = 8, size: str = "544p", iters: int = 3, seed: int = 5
+    batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5
 ) -> dict:
     """Full-frame Haar detectMultiScale throughput: the fused
     single-program pyramid (6 chunk dispatches + 1 packed download per
     frame-batch) on device-resident frames, host grouping included.
+
+    batch=16 measured best on v5e (scripts_dev/probe_haar_batch.py:
+    59/69 fps blocking/pipelined vs 54 at B=8; B=32 collapses to 13 fps
+    -- a capacity retry fires every call and the big chunk programs
+    degrade, likely VMEM pressure).  The per-batch cost is dominated by
+    per-dispatch tunnel overhead, so wider batches amortize it.
 
     Frames are REAL video pixels when the reference videos are present
     (pure noise has pathological phase-A survivor counts that trigger

@@ -21,14 +21,14 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def main(batch: int) -> None:
+def main(batch: int, chunk: int = 5) -> None:
     import cv2
 
     from face_detection_recognization_pca_tpu.detect.haar import HaarDetector
     from face_detection_recognization_pca_tpu.io.video import VideoReader
 
     h, w = 544, 960
-    det = HaarDetector()
+    det = HaarDetector(pyramid_chunk=chunk)
     r = VideoReader("/root/reference/videos/test.mp4")
     fs = []
     for i, f in enumerate(r.frames()):
@@ -69,4 +69,7 @@ def main(batch: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 16,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 5,
+    )
