@@ -781,6 +781,15 @@ class HaarDetector:
         # round-trips).
         self.pyramid_chunk = pyramid_chunk
         self._pyramid_cache: dict = {}
+        # Learned pool-capacity floors per level chunk: when a call's
+        # survivor counts overflow the right-sized pools, detect_finish
+        # retries with doubled capacity AND records it here, so every
+        # later call on footage like it runs the big program directly
+        # (one dispatch/chunk) instead of paying the retry each time --
+        # without this, a batch whose frames exceed the static sizing
+        # re-ran its chunks on EVERY call (measured: B=32 collapsed to
+        # 13 fps vs 59 at B=16 on test.mp4).
+        self._cap_floor: dict = {}
         self.last_dispatches = 0  # device calls in the last detect call
 
     def _get_pyramid_fn(self, levels, ka, kb):
@@ -958,6 +967,10 @@ class HaarDetector:
                 kb = min(
                     self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256))
                 )
+            floor = self._cap_floor.get(tuple(part))
+            if floor is not None:
+                ka = min(max(ka, floor[0]), cap)
+                kb = min(max(kb, floor[1]), ka * self._pool_group)
             fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
             outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
             dispatches += 1
@@ -1021,6 +1034,7 @@ class HaarDetector:
         # (window units otherwise) -- same contract either way.
         g = self._pool_group
         for ci, (c0, cap, ka, kb, width) in enumerate(chunk_meta):
+            ka0, kb0 = ka, kb
             trunc_a = ka < cap and np.any(counts[:, ci, 0] > ka)
             trunc_b = kb < ka * g and np.any(counts[:, ci, 1] > kb)
             while trunc_a or trunc_b:
@@ -1067,6 +1081,12 @@ class HaarDetector:
                 chunk_meta[ci] = (c0, cap, ka, kb, redo.shape[1])
                 trunc_a = ka < cap and np.any(na > ka)
                 trunc_b = kb < ka * g and np.any(nb1 > kb)
+            if (ka, kb) != (ka0, kb0):
+                part_key = tuple(levels[c0 : c0 + chunk])
+                old = self._cap_floor.get(part_key, (0, 0))
+                self._cap_floor[part_key] = (
+                    max(old[0], ka), max(old[1], kb)
+                )
 
         for b in range(nb):
             sel = packed[b]

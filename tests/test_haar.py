@@ -119,3 +119,18 @@ def test_batch_matches_single(reference_root, detector):
     for b, g in enumerate(frames):
         single = detector.detect_multi_scale(g, 1.1, 5, (30, 30))
         assert out_batch[b] == single
+
+
+def test_pool_overflow_retry_learns_capacity(cascade, rng):
+    """A pool overflow retries with doubled capacity AND records the
+    floor, so the next call runs the right-sized program directly
+    (without this, footage exceeding the static sizing re-ran its
+    chunks on EVERY call -- measured 13 fps vs 59 at B=32/16)."""
+    det = HaarDetector(cascade, k_per_level=8)
+    noise = rng.integers(0, 256, (240, 320), dtype=np.uint8)
+    first = det.detect_multi_scale(noise, 1.1, 5, (30, 30))
+    d_first = det.last_dispatches
+    assert det._cap_floor, "expected a pool overflow on noise input"
+    second = det.detect_multi_scale(noise, 1.1, 5, (30, 30))
+    assert second == first
+    assert det.last_dispatches < d_first  # no retry dispatches now
