@@ -36,7 +36,7 @@ import numpy as np
 from face_detection_recognization_pca_tpu.ops.match import (
     match_template_ccoeff,  # single-template op (kept as the spec/oracle)
 )
-from face_detection_recognization_pca_tpu.ops.nms import nms
+from face_detection_recognization_pca_tpu.ops.nms import nms_boxes_cv2
 
 DEFAULT_SCALES = (0.5, 0.7, 1.0, 1.3, 1.6)
 
@@ -159,7 +159,13 @@ class CcoeffTemplateDetector:
             return []
         boxes = np.array([[x, y, w, h] for _, x, y, w, h in cands], dtype=np.float64)
         scores = np.array([c[0] for c in cands])
-        keep = np.asarray(nms(boxes, scores, self.nms_threshold))
+        # cv2.dnn.NMSBoxes semantics (useless/scan-template.py:156): the
+        # reference passes its candidate threshold again as NMSBoxes'
+        # score_threshold, whose strict > filter re-drops candidates at
+        # exactly the threshold.
+        keep = np.asarray(
+            nms_boxes_cv2(boxes, scores, self.threshold, self.nms_threshold)
+        )
         return [
             (int(x), int(y), int(w), int(h))
             for (_, x, y, w, h), k in zip(cands, keep)

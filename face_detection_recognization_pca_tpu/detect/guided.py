@@ -76,8 +76,11 @@ class GuidedMatcher:
         """Best guided hit for one frame given prior detections.
 
         ``priors``: DetectionRecord-like objects with center_x/center_y/
-        width/height.  Returns dict(x, y, width, height, confidence) or
-        None, exactly mirroring the reference's ``all_matches`` + max.
+        width/height (and optionally frame_number).  Returns dict(x, y,
+        width, height, confidence, ref_frame_diff) or None, exactly
+        mirroring the reference's ``all_matches`` + max -- including the
+        frame distance of the winning prior
+        (``scan-template-v2.py:382,549``).
         """
         height, width = frame_gray.shape
         best = None
@@ -115,6 +118,10 @@ class GuidedMatcher:
                 "width": rw,
                 "height": rh,
                 "confidence": conf,
+                "ref_frame_diff": abs(
+                    int(getattr(ref, "frame_number", frame_number))
+                    - int(frame_number)
+                ),
             }
             if best is None or conf > best["confidence"]:
                 best = hit

@@ -150,52 +150,81 @@ def load_model(path: str) -> EigenfacesArtifact:
     )
 
 
-def _make_sklearn_objects(art: EigenfacesArtifact):
-    """Real sklearn estimators when available; NumPy shims otherwise."""
-    n = art.features.shape[0]
+def make_sklearn_pair(
+    components: np.ndarray,  # (k, d)
+    projection_mean: np.ndarray,  # (d,)
+    scaler_mean: np.ndarray,  # (d,)
+    scaler_scale: np.ndarray,  # (d,)
+    eigenvalues: Optional[np.ndarray] = None,
+    explained_variance_ratio: Optional[np.ndarray] = None,
+    n_samples: int = 0,
+):
+    """Fitted (PCA, StandardScaler) pair for embedding in pickles.
+
+    Real sklearn estimators when sklearn is importable (so reference
+    scripts can load our models byte-compatibly); NumPy shims otherwise.
+    """
     try:
         from sklearn.decomposition import PCA  # type: ignore
         from sklearn.preprocessing import StandardScaler  # type: ignore
 
-        pca = PCA(n_components=art.n_components)
-        pca.components_ = np.asarray(art.components)
-        pca.mean_ = np.asarray(art.projection_mean)
-        pca.n_components_ = art.n_components
-        pca.n_features_in_ = art.components.shape[1]
-        pca.n_samples_ = n
-        if art.eigenvalues is not None:
-            pca.explained_variance_ = np.asarray(art.eigenvalues)
-            pca.singular_values_ = np.sqrt(
-                np.maximum(pca.explained_variance_ * max(n - 1, 1), 0.0)
-            )
-        if art.explained_variance_ratio is not None:
+        k = components.shape[0]
+        pca = PCA(n_components=k)
+        pca.components_ = np.asarray(components)
+        pca.mean_ = np.asarray(projection_mean)
+        pca.n_components_ = k
+        pca.n_features_in_ = components.shape[1]
+        pca.n_samples_ = n_samples
+        # transform() dereferences explained_variance_ unconditionally
+        # (sklearn _BasePCA.transform); always populate it.
+        pca.explained_variance_ = (
+            np.asarray(eigenvalues)
+            if eigenvalues is not None
+            else np.zeros(k)
+        )
+        pca.singular_values_ = np.sqrt(
+            np.maximum(pca.explained_variance_ * max(n_samples - 1, 1), 0.0)
+        )
+        if explained_variance_ratio is not None:
             pca.explained_variance_ratio_ = np.asarray(
-                art.explained_variance_ratio
+                explained_variance_ratio
             )
         pca.noise_variance_ = 0.0
         pca.whiten = False
 
         scaler = StandardScaler()
-        scaler.mean_ = np.asarray(art.scaler_mean)
-        scaler.scale_ = np.asarray(art.scaler_scale)
+        scaler.mean_ = np.asarray(scaler_mean)
+        scaler.scale_ = np.asarray(scaler_scale)
         scaler.var_ = scaler.scale_ ** 2
         scaler.n_features_in_ = scaler.mean_.shape[0]
-        scaler.n_samples_seen_ = n
+        scaler.n_samples_seen_ = n_samples
         scaler.with_mean = True
         scaler.with_std = True
         return pca, scaler
     except Exception:
         pca = PCAShim.from_arrays(
-            art.components,
-            art.projection_mean,
-            explained_variance=art.eigenvalues,
-            explained_variance_ratio=art.explained_variance_ratio,
-            n_samples=n,
+            components,
+            projection_mean,
+            explained_variance=eigenvalues,
+            explained_variance_ratio=explained_variance_ratio,
+            n_samples=n_samples,
         )
         scaler = StandardScalerShim.from_arrays(
-            art.scaler_mean, art.scaler_scale, n_samples=n
+            scaler_mean, scaler_scale, n_samples=n_samples
         )
         return pca, scaler
+
+
+def _make_sklearn_objects(art: EigenfacesArtifact):
+    return make_sklearn_pair(
+        art.components,
+        art.projection_mean,
+        art.scaler_mean,
+        art.scaler_scale,
+        eigenvalues=art.eigenvalues,
+        explained_variance_ratio=art.explained_variance_ratio,
+        n_samples=art.features.shape[0],
+    )
 
 
 def save_model_v2(art: EigenfacesArtifact, path: str) -> None:

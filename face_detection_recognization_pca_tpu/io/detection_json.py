@@ -176,9 +176,16 @@ def reference_positions(
 ) -> List[DetectionRecord]:
     """Training-video detections within +-tolerance frames, the position
     prior of the guided scanner (reference
-    ``scripts/manual/scan-template-v2.py:127-161``)."""
-    return [
+    ``scripts/manual/scan-template-v2.py:127-161``).
+
+    Sorted by frame distance (closest first, stable within ties) like the
+    reference's ``reference_positions.sort(key=frame_diff)`` -- so on
+    equal match confidence the closest-frame prior wins, and the
+    recorded ``ref_frame_diff`` matches the reference's."""
+    near = [
         r
         for r in det.faces
         if abs(r.frame_number - frame_number) <= tolerance
     ]
+    near.sort(key=lambda r: abs(r.frame_number - frame_number))
+    return near

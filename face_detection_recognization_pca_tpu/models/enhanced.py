@@ -114,6 +114,8 @@ class EnhancedModel:
     person_id_map: Dict[str, int]
     augmentation_factor: int = AUGMENTATION_FACTOR
     training_date: str = ""
+    face_info: Optional[List[dict]] = None
+    n_components: int = 100  # the trainer's requested k (train-enhanced.py:24)
 
     @property
     def names_by_id(self) -> Dict[int, str]:
@@ -127,6 +129,7 @@ def train_enhanced(
     n_components: int = 100,
     augment: bool = True,
     profile_flags: Optional[List[bool]] = None,
+    face_info: Optional[List[dict]] = None,
 ) -> EnhancedModel:
     """Train the 5-branch ensemble from grayscale crops."""
     ks = _branch_components(n_components)
@@ -166,6 +169,8 @@ def train_enhanced(
         labels=labels_arr,
         person_id_map=dict(person_id_map),
         training_date=datetime.now().isoformat(),
+        face_info=face_info,
+        n_components=n_components,
     )
 
 
@@ -250,51 +255,89 @@ def detect_face_angle(face_gray: np.ndarray) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Artifact I/O (reference pickle schema, train-enhanced.py:381-392)
+# Artifact I/O (reference pickle schema, train-enhanced.py:381-395)
 # ---------------------------------------------------------------------------
 
 
 def save_enhanced(model: EnhancedModel, path: str) -> None:
+    """Write the REFERENCE enhanced pickle layout
+    (``train-enhanced.py:381-395``): per-branch
+    ``trained_models[ft] = {'features', 'pca', 'scaler'}`` with fitted
+    sklearn (or shim) estimator objects, duplicated into the top-level
+    ``pca_models`` / ``scalers`` maps exactly as the reference writer
+    does, plus ``face_labels / face_info / person_id_map / n_components /
+    training_date / model_type / augmentation_factor``."""
+    from face_detection_recognization_pca_tpu.io.artifacts import (
+        make_sklearn_pair,
+    )
+
+    trained_models, pca_models, scalers = {}, {}, {}
+    for b, br in model.branches.items():
+        pca, scaler = make_sklearn_pair(
+            br.components,
+            br.projection_mean,
+            br.scaler.mean,
+            br.scaler.scale,
+            n_samples=br.gallery.shape[0],
+        )
+        trained_models[b] = {
+            "features": np.asarray(br.gallery),
+            "pca": pca,
+            "scaler": scaler,
+        }
+        pca_models[b] = pca
+        scalers[b] = scaler
     data = {
+        "trained_models": trained_models,
+        "pca_models": pca_models,
+        "scalers": scalers,
+        "face_labels": np.asarray(model.labels),
+        "face_info": model.face_info or [],
+        "person_id_map": dict(model.person_id_map),
+        "n_components": int(model.n_components),
+        "training_date": model.training_date or datetime.now().isoformat(),
         "model_type": "enhanced",
-        "trained_models": {
-            b: {
-                "scaler_mean": br.scaler.mean,
-                "scaler_scale": br.scaler.scale,
-                "components": br.components,
-                "projection_mean": br.projection_mean,
-                "gallery": br.gallery,
-            }
-            for b, br in model.branches.items()
-        },
-        "face_labels": model.labels,
-        "person_id_map": model.person_id_map,
-        "augmentation_factor": model.augmentation_factor,
-        "feature_weights": dict(BRANCH_WEIGHTS),
-        "training_date": model.training_date,
+        "augmentation_factor": int(model.augmentation_factor),
     }
     with open(path, "wb") as f:
         pickle.dump(data, f)
 
 
 def load_enhanced(path: str) -> EnhancedModel:
+    """Load an enhanced pickle -- the reference layout (sklearn objects,
+    unpickled sklearn-free via the class-substitution shim) or this
+    repo's pre-r3 plain-array layout."""
+    from face_detection_recognization_pca_tpu.io.artifacts import _shim_loads
+
     with open(path, "rb") as f:
-        data = pickle.load(f)
+        data = _shim_loads(f.read())
     if data.get("model_type") != "enhanced":
         raise ValueError(f"{path} is not an enhanced model pickle")
-    branches = {
-        b: EnhancedBranch(
-            scaler=ScalerParams(d["scaler_mean"], d["scaler_scale"]),
-            components=d["components"],
-            projection_mean=d["projection_mean"],
-            gallery=d["gallery"],
-        )
-        for b, d in data["trained_models"].items()
-    }
+    branches = {}
+    for b, d in data["trained_models"].items():
+        if "pca" in d:  # reference layout (train-enhanced.py:358-361)
+            pca, scaler = d["pca"], d["scaler"]
+            branches[b] = EnhancedBranch(
+                scaler=ScalerParams(
+                    np.asarray(scaler.mean_), np.asarray(scaler.scale_)
+                ),
+                components=np.asarray(pca.components_),
+                projection_mean=np.asarray(pca.mean_),
+                gallery=np.asarray(d["features"]),
+            )
+        else:  # legacy plain-array layout (rounds 1-2 of this repo)
+            branches[b] = EnhancedBranch(
+                scaler=ScalerParams(d["scaler_mean"], d["scaler_scale"]),
+                components=d["components"],
+                projection_mean=d["projection_mean"],
+                gallery=d["gallery"],
+            )
     return EnhancedModel(
         branches=branches,
         labels=np.asarray(data["face_labels"]),
         person_id_map=dict(data["person_id_map"]),
         augmentation_factor=data.get("augmentation_factor", AUGMENTATION_FACTOR),
         training_date=data.get("training_date", ""),
+        face_info=data.get("face_info"),
+        n_components=int(data.get("n_components", 100)),
     )

@@ -80,6 +80,54 @@ def nms(
     return keep
 
 
+def nms_boxes_cv2(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    score_threshold: float,
+    nms_threshold: float,
+) -> jnp.ndarray:
+    """``cv2.dnn.NMSBoxes`` semantics over fixed slots (keep mask).
+
+    Pinned empirically against cv2 5.0 (tests/test_ccoeff_detector.py)
+    and matching the OpenCV implementation the reference's template
+    detector calls (``useless/scan-template.py:156``):
+
+    * boxes with ``score == score_threshold`` are DROPPED (strict ``>``
+      filter) -- unlike :func:`nms`, which has no score gate;
+    * suppression fires only at ``IoU > nms_threshold`` (strict; a pair
+      at exactly the threshold survives) -- :func:`nms` uses ``>=``
+      per the v4 scanner's Python loop;
+    * equal scores keep the lowest original index.
+    """
+    boxes = jnp.asarray(boxes)
+    scores = jnp.asarray(scores)
+    n = boxes.shape[0]
+    iou = iou_matrix(boxes.astype(jnp.float32))
+    order = jnp.argsort(-scores)  # descending, stable (lowest index first)
+
+    def body(i, state):
+        keep, suppressed = state
+        idx = order[i]
+        valid = jnp.logical_and(
+            jnp.logical_not(suppressed[idx]), scores[idx] > score_threshold
+        )
+        keep = keep.at[idx].set(valid)
+        overlaps = iou[idx] > nms_threshold
+        overlaps = overlaps.at[idx].set(False)
+        suppressed = jnp.where(
+            jnp.logical_and(valid, overlaps), True, suppressed
+        )
+        return keep, suppressed
+
+    keep, _ = jax.lax.fori_loop(
+        0,
+        n,
+        body,
+        (jnp.zeros(n, dtype=bool), jnp.zeros(n, dtype=bool)),
+    )
+    return keep
+
+
 def in_border_or_corner(
     boxes: jnp.ndarray,
     frame_width: int,

@@ -17,10 +17,11 @@ standard mesh recipe (outer axes = slowest interconnect).
 Single-host behavior is unchanged: :func:`initialize_multihost` is a
 guarded no-op unless a coordinator is configured, and
 :func:`global_mesh` degrades to :func:`.mesh.make_mesh` over the local
-devices.  This environment has one host and one chip, so the DCN path
-cannot be live-tested here; the contract is compile-level (the same
-``shard_map`` programs, over a mesh whose outer axis spans processes)
-and is documented in docs/DESIGN.md.
+devices.  Correctness of the multi-process path is executed for real by
+``tests/test_multihost.py``: two CPU processes (4 fake devices each)
+join a localhost coordinator, run ``multichip_train_step`` over the
+cross-process mesh (collectives on Gloo), and must reproduce the
+single-process result.  Only DCN *performance* requires a real pod.
 """
 
 from __future__ import annotations

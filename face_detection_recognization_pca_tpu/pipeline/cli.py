@@ -139,6 +139,20 @@ def main(argv=None) -> int:
     r.add_argument("--max-frames", type=int, default=None)
     r.add_argument("--no-scan", action="store_true")
 
+    g = sub.add_parser(
+        "gen-json",
+        help="backfill detection JSONs from bare crop directories "
+        "(the reference's standalone generate_detection_json.py)",
+    )
+    g.add_argument("--lock-dir", default=None)
+    g.add_argument("--person", help="one person only (default: all dirs)")
+    g.add_argument(
+        "--force",
+        action="store_true",
+        help="regenerate even when the JSON already exists "
+        "(the reference skips existing files)",
+    )
+
     e = sub.add_parser("eval", help="top-1 accuracy on a holdout split")
     e.add_argument("--lock-dir", default="faces/lock_version")
     e.add_argument("--holdout-every", type=int, default=5)
@@ -382,6 +396,41 @@ def main(argv=None) -> int:
             scan=not args.no_scan,
         )
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "gen-json":
+        # Standalone detection-JSON backfill, reference
+        # generate_detection_json.py:119-155: scan person dirs under the
+        # lock root, skip dirs whose JSON already exists (unless
+        # --force), write the 12-field schema with x=y=0 and 30 fps.
+        import os
+
+        from face_detection_recognization_pca_tpu.io.detection_json import (
+            generate_detection_json,
+        )
+
+        lock = args.lock_dir or cfg.paths.lock_dir
+        if not os.path.isdir(lock):
+            p.error(f"directory {lock} not found")
+        persons = (
+            [args.person]
+            if args.person
+            else sorted(
+                d
+                for d in os.listdir(lock)
+                if os.path.isdir(os.path.join(lock, d))
+            )
+        )
+        generated, skipped = [], []
+        for name in persons:
+            pdir = os.path.join(lock, name)
+            jpath = os.path.join(pdir, f"{name}_faces_detection.json")
+            if os.path.exists(jpath) and not args.force:
+                skipped.append(jpath)
+                continue
+            det = generate_detection_json(pdir, name, output_path=jpath)
+            generated.append({"path": jpath, "faces": det.total_faces_detected})
+        print(json.dumps({"generated": generated, "skipped": skipped}))
         return 0
 
     if args.cmd == "eval":

@@ -139,7 +139,7 @@ def scan_video_guided(
                     "person_name": str(name),
                     "confidence": float(conf),
                     "template_match_confidence": float(hit["confidence"]),
-                    "ref_frame_diff": 0,
+                    "ref_frame_diff": int(hit.get("ref_frame_diff", 0)),
                 }
             )
             annotate.draw_guided(frame, (x, y, w, h), name, conf)

@@ -120,8 +120,10 @@ def scan_video_tracked(
         )
         boxes = np.repeat(box, batch, axis=0)
         state = msr.init_state(batch, (meta.height, meta.width), boxes)
+        prior_frame = int(first.frame_number)
     else:
         state = msr.init_state(batch, (meta.height, meta.width))
+        prior_frame = 0
 
     names_by_id = art.names_by_id
     results: List[dict] = []
@@ -155,10 +157,18 @@ def scan_video_tracked(
                     ),
                     "confidence": c,
                     "template_match_confidence": float(tm[i]),
-                    "ref_frame_diff": 0,
+                    # Frame distance to the prior actually used: every
+                    # frame in a batch searches around the batch's entry
+                    # box, which came from the last frame of the
+                    # previous batch (the JSON prior for the first) --
+                    # the tracker's analog of the reference's
+                    # best_match['ref_frame_diff'] (scan-template-v2.py:549).
+                    "ref_frame_diff": abs(frame_no - prior_frame),
                 }
             )
             frame_no += 1
+        # Next batch's windows use this batch's exit box.
+        prior_frame = frame_no - 1 if frame_no > 0 else prior_frame
     reader.close()
 
     if output_json:

@@ -18,7 +18,8 @@
 //  3. gr_group -- groupRectangles clustering (the host half of
 //     detectMultiScale, detect/haar.py).  The O(n^2) union-find pair
 //     loop costs 35 ms/frame in Python at 150 raw windows (measured),
-//     dominating the Haar finish half; here it is sub-microsecond.
+//     dominating the Haar finish half; here ~0.3 ms including the
+//     ctypes call overhead at 150 windows (docs/DESIGN.md).
 //     Semantics are EXACTLY the Python implementation's (itself
 //     OpenCV's): SimilarRects predicate, cluster averaging with
 //     round-half-even, strict count threshold, contained-in-bigger
@@ -212,7 +213,19 @@ int gr_find(std::vector<int>& parent, int a) {
   return a;
 }
 // Round-half-even, matching Python round(np.float64) / np.rint.
-inline int gr_round(double v) { return static_cast<int>(std::nearbyint(v)); }
+// Explicit tie-break (not std::nearbyint) so the result is independent
+// of the thread's fenv rounding mode -- a library switching the fenv
+// away from FE_TONEAREST must not break the element-exact parity with
+// the Python oracle that tests pin.
+inline int gr_round(double v) {
+  double fl = std::floor(v);
+  double diff = v - fl;
+  if (diff > 0.5) return static_cast<int>(fl) + 1;
+  if (diff < 0.5) return static_cast<int>(fl);
+  // Exact tie: round to the even neighbor.
+  int lo = static_cast<int>(fl);
+  return (lo % 2 == 0) ? lo : lo + 1;
+}
 }  // namespace
 
 // Cluster n rectangles (x, y, w, h as doubles, row-major n*4) with the

@@ -121,3 +121,42 @@ def test_cli_bad_args():
         main(["scan"])  # missing mode
     with pytest.raises(SystemExit):
         main(["train"])  # missing person/all
+
+
+def test_cli_gen_json(tmp_path, capsys):
+    """fdrp gen-json == the reference's standalone
+    generate_detection_json.py main(): backfill every bare person dir,
+    skip dirs that already have a JSON."""
+    import cv2
+
+    lock = tmp_path / "lock"
+    for person, n in (("alice", 3), ("bob", 2)):
+        d = lock / person
+        d.mkdir(parents=True)
+        for i in range(n):
+            img = np.full((32, 24, 3), 100 + i, np.uint8)
+            cv2.imwrite(str(d / f"face_{i:06d}_frame_{i * 4:06d}.jpg"), img)
+    # bob already has a JSON -> skipped, like the reference (:144-146).
+    pre = lock / "bob" / "bob_faces_detection.json"
+    pre.write_text("{}")
+
+    out = _run(capsys, ["gen-json", "--lock-dir", str(lock)])
+    assert [g["faces"] for g in out["generated"]] == [3]
+    assert out["generated"][0]["path"].endswith("alice_faces_detection.json")
+    assert out["skipped"] == [str(pre)]
+
+    data = json.loads(
+        (lock / "alice" / "alice_faces_detection.json").read_text()
+    )
+    assert data["total_faces_detected"] == 3
+    assert data["fps"] == 30.0
+    recs = data["faces"]
+    assert [r["frame_number"] for r in recs] == [0, 4, 8]
+    assert all(r["x"] == 0 and r["y"] == 0 for r in recs)
+    assert recs[0]["width"] == 24 and recs[0]["height"] == 32
+
+    # --force regenerates the skipped one.
+    out = _run(
+        capsys, ["gen-json", "--lock-dir", str(lock), "--person", "bob", "--force"]
+    )
+    assert [g["faces"] for g in out["generated"]] == [2]

@@ -129,3 +129,29 @@ def test_guided_matcher_tracks_prior(face_crop, rng):
     _, mv, _, ml = cv2.minMaxLoc(res)
     assert (hit["x"], hit["y"]) == (sx + ml[0], sy + ml[1])
     assert abs(hit["confidence"] - mv) < 1e-3
+
+
+def test_guided_matcher_ref_frame_diff(face_crop, rng):
+    """The winning prior's frame distance is recorded in the hit
+    (reference scan-template-v2.py:382,549)."""
+
+    class Prior:
+        width, height = 90, 90
+        center_x, center_y = 305, 245
+        frame_number = 12
+
+    crop = cv2.resize(face_crop, (90, 90))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (21, 21), 8)
+    _plant(frame, crop, 270, 210)
+    gm = GuidedMatcher(face_crop, search_scale=1.5)
+    hit = gm.match_frame(frame, [Prior()], frame_number=15)
+    assert hit is not None
+    assert hit["ref_frame_diff"] == 3
+    # Priors without frame_number (live mode synthetics) degrade to 0.
+    class Bare:
+        width, height = 90, 90
+        center_x, center_y = 305, 245
+
+    hit2 = gm.match_frame(frame, [Bare()], frame_number=15)
+    assert hit2["ref_frame_diff"] == 0

@@ -126,3 +126,144 @@ def test_enhanced_train_recognize_roundtrip(tmp_path, real_crops):
     pid3, name3, conf3 = recognize_enhanced(back, real_crops[0])
     assert (pid3, name3) == (0, "Joseph_Lai")
     assert abs(conf3 - conf) < 1e-9
+
+
+def test_enhanced_pickle_reference_schema(tmp_path, real_crops):
+    """save_enhanced writes the exact reference layout
+    (train-enhanced.py:381-395): per-branch {'features','pca','scaler'}
+    dicts with fitted sklearn estimators, duplicated into top-level
+    pca_models/scalers, plus the flat metadata keys."""
+    import pickle
+
+    labels = [0] * 6 + [1] * 6
+    model = train_enhanced(
+        real_crops,
+        labels,
+        {"Joseph_Lai": 0, "shun": 1},
+        n_components=20,
+        augment=False,
+        face_info=[{"image_path": f"crop_{i}.jpg"} for i in range(12)],
+    )
+    p = str(tmp_path / "m.pkl")
+    save_enhanced(model, p)
+    with open(p, "rb") as f:
+        raw = pickle.load(f)  # plain pickle: sklearn objects restore live
+    assert set(raw) == {
+        "trained_models",
+        "pca_models",
+        "scalers",
+        "face_labels",
+        "face_info",
+        "person_id_map",
+        "n_components",
+        "training_date",
+        "model_type",
+        "augmentation_factor",
+    }
+    assert raw["model_type"] == "enhanced"
+    assert raw["augmentation_factor"] == 6
+    assert raw["n_components"] == 20
+    assert len(raw["face_info"]) == 12
+    from sklearn.decomposition import PCA
+    from sklearn.preprocessing import StandardScaler
+
+    for b in ("scale_48", "scale_64", "scale_80", "hog", "lbp"):
+        tm = raw["trained_models"][b]
+        assert set(tm) == {"features", "pca", "scaler"}
+        assert isinstance(tm["pca"], PCA)
+        assert isinstance(tm["scaler"], StandardScaler)
+        assert raw["pca_models"][b] is tm["pca"]
+        assert raw["scalers"][b] is tm["scaler"]
+        # The embedded estimators transform like our branch params.
+        feats = tm["pca"].transform(
+            tm["scaler"].transform(
+                extract_branch_features(real_crops[0])[b][None]
+            )
+        )
+        br = model.branches[b]
+        x = (extract_branch_features(real_crops[0])[b] - br.scaler.mean) / br.scaler.scale
+        want = (x - br.projection_mean) @ br.components.T
+        np.testing.assert_allclose(feats[0], want, rtol=1e-8, atol=1e-8)
+
+
+def test_enhanced_loads_sklearn_fit_pickle(tmp_path, real_crops):
+    """A pickle written the way the REFERENCE writes it -- sklearn
+    fit_transform per branch (train-enhanced.py:338-361) -- loads through
+    our (sklearn-free shim) loader and recognizes correctly."""
+    import pickle
+
+    from sklearn.decomposition import PCA
+    from sklearn.preprocessing import StandardScaler
+
+    labels = [0] * 6 + [1] * 6
+    trained_models, pca_models, scalers = {}, {}, {}
+    raw_by_branch = {}
+    for b in ("scale_48", "scale_64", "scale_80", "hog", "lbp"):
+        x = np.stack([extract_branch_features(c)[b] for c in real_crops])
+        raw_by_branch[b] = x
+        scaler = StandardScaler()
+        xs = scaler.fit_transform(x)
+        pca = PCA(n_components=8, random_state=42)
+        feats = pca.fit_transform(xs)
+        trained_models[b] = {"features": feats, "pca": pca, "scaler": scaler}
+        pca_models[b] = pca
+        scalers[b] = scaler
+    p = str(tmp_path / "ref_layout.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(
+            {
+                "trained_models": trained_models,
+                "pca_models": pca_models,
+                "scalers": scalers,
+                "face_labels": np.asarray(labels),
+                "face_info": [],
+                "person_id_map": {"Joseph_Lai": 0, "shun": 1},
+                "n_components": 8,
+                "training_date": "2026-01-01T00:00:00",
+                "model_type": "enhanced",
+                "augmentation_factor": 6,
+            },
+            f,
+        )
+    model = load_enhanced(p)
+    assert model.n_components == 8
+    pid, name, conf = recognize_enhanced(model, real_crops[0])
+    assert (pid, name) == (0, "Joseph_Lai")
+    pid2, name2, _ = recognize_enhanced(model, real_crops[7])
+    assert (pid2, name2) == (1, "shun")
+
+
+def test_enhanced_loads_legacy_array_layout(tmp_path, real_crops):
+    """The pre-r3 plain-array layout still loads (forward compat for
+    models written by rounds 1-2 of this repo)."""
+    import pickle
+
+    labels = [0] * 6 + [1] * 6
+    model = train_enhanced(
+        real_crops, labels, {"Joseph_Lai": 0, "shun": 1},
+        n_components=12, augment=False,
+    )
+    legacy = {
+        "model_type": "enhanced",
+        "trained_models": {
+            b: {
+                "scaler_mean": br.scaler.mean,
+                "scaler_scale": br.scaler.scale,
+                "components": br.components,
+                "projection_mean": br.projection_mean,
+                "gallery": br.gallery,
+            }
+            for b, br in model.branches.items()
+        },
+        "face_labels": model.labels,
+        "person_id_map": model.person_id_map,
+        "augmentation_factor": 6,
+        "training_date": "",
+    }
+    p = str(tmp_path / "legacy.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(legacy, f)
+    back = load_enhanced(p)
+    a = recognize_enhanced(model, real_crops[3])
+    bres = recognize_enhanced(back, real_crops[3])
+    assert a == bres

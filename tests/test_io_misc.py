@@ -153,3 +153,20 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert "a:" in t.summary()
+
+
+def test_reference_positions_sorted_by_frame_diff():
+    """Priors come back closest-frame-first (stable within ties), like
+    the reference's sort (scan-template-v2.py:158-159) -- the order that
+    decides confidence ties and the recorded ref_frame_diff."""
+    faces = [
+        DetectionRecord(i, f, 0, 0, 0, 10, 10, 5, 5, 100, "", "")
+        for i, f in enumerate([0, 4, 9, 5, 7, 3])
+    ]
+    det = DetectionFile("v", 30, 30, len(faces), "", faces)
+    near = reference_positions(det, 5, tolerance=5)
+    assert [r.frame_number for r in near] == [5, 4, 7, 3, 9, 0]
+    # Stable: equal diffs keep file order (4 before 7? diff 1 vs 2 --
+    # use the 3/7 pair, both diff 2: 7 appears before 3 in the file).
+    diffs = [abs(r.frame_number - 5) for r in near]
+    assert diffs == sorted(diffs)

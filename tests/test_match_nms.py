@@ -156,3 +156,68 @@ def test_dft_correlate_valid_matches_fft(rng):
     kf = np.conj(np.fft.rfft2(kernels, (40, 56)))
     want = np.fft.irfft2(ff[:, None] * kf[None], (40, 56))[:, :, :oh, :ow]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
+
+
+def _cv2_nms_keep(boxes, scores, score_thr, nms_thr):
+    idx = cv2.dnn.NMSBoxes(
+        [tuple(map(float, b)) for b in boxes],
+        [float(s) for s in scores],
+        score_thr,
+        nms_thr,
+    )
+    return set(np.asarray(idx).reshape(-1).tolist())
+
+
+def test_nms_boxes_cv2_random_parity(rng):
+    """nms_boxes_cv2 == cv2.dnn.NMSBoxes on random candidate sets
+    (the reference template detector's NMS, useless/scan-template.py:156)."""
+    from face_detection_recognization_pca_tpu.ops.nms import nms_boxes_cv2
+
+    for trial in range(5):
+        n = 40
+        boxes = np.stack(
+            [
+                rng.integers(0, 120, n),
+                rng.integers(0, 90, n),
+                rng.integers(8, 48, n),
+                rng.integers(8, 48, n),
+            ],
+            axis=1,
+        ).astype(np.float64)
+        scores = rng.uniform(0.0, 1.0, n)
+        want = _cv2_nms_keep(boxes, scores, 0.3, 0.35)
+        keep = np.asarray(nms_boxes_cv2(boxes, scores, 0.3, 0.35))
+        assert set(np.nonzero(keep)[0].tolist()) == want
+
+
+def test_nms_boxes_cv2_edge_semantics():
+    """The three semantics that differ from the v4 Python NMS, pinned
+    against cv2 5.0 behavior: strict score >, strict IoU >, index
+    tie-break."""
+    from face_detection_recognization_pca_tpu.ops.nms import nms_boxes_cv2
+
+    # score == score_threshold is dropped (strict >).
+    boxes = np.array([[0, 0, 10, 10], [100, 100, 10, 10]], dtype=float)
+    scores = np.array([0.7, 0.8])
+    assert _cv2_nms_keep(boxes, scores, 0.7, 0.3) == {1}
+    keep = np.asarray(nms_boxes_cv2(boxes, scores, 0.7, 0.3))
+    assert set(np.nonzero(keep)[0].tolist()) == {1}
+
+    # IoU == nms_threshold survives (suppression is strict >).
+    boxes = np.array([[0, 0, 10, 30], [0, 10, 10, 30]], dtype=float)  # IoU 0.5
+    scores = np.array([0.9, 0.8])
+    assert _cv2_nms_keep(boxes, scores, 0.1, 0.5) == {0, 1}
+    keep = np.asarray(nms_boxes_cv2(boxes, scores, 0.1, 0.5))
+    assert set(np.nonzero(keep)[0].tolist()) == {0, 1}
+    assert _cv2_nms_keep(boxes, scores, 0.1, 0.49) == {0}
+    keep = np.asarray(nms_boxes_cv2(boxes, scores, 0.1, 0.49))
+    assert set(np.nonzero(keep)[0].tolist()) == {0}
+
+    # Equal scores: lowest original index wins.
+    boxes = np.array(
+        [[0, 0, 10, 10], [2, 0, 10, 10], [4, 0, 10, 10]], dtype=float
+    )
+    scores = np.array([0.9, 0.9, 0.9])
+    assert _cv2_nms_keep(boxes, scores, 0.1, 0.3) == {0}
+    keep = np.asarray(nms_boxes_cv2(boxes, scores, 0.1, 0.3))
+    assert set(np.nonzero(keep)[0].tolist()) == {0}
