@@ -397,7 +397,17 @@ def bench_large_gallery(
 
     @jax.jit
     def pl_match(feats, gallery_t, gnorm, s):
+        # f32 operands: exact (more precise than XLA's default-precision
+        # dot, which rounds f32 operands to bf16 on the MXU).
         return gallery_match_pallas(feats * s, gallery_t, gnorm)
+
+    @jax.jit
+    def pl_match_bf16(feats, gallery_t, gnorm, s):
+        # bf16 operands: the same single-pass-MXU rounding XLA default
+        # precision applies -- the apples-to-apples speed comparison.
+        return gallery_match_pallas(
+            feats * s, gallery_t, gnorm, operand_dtype=jnp.bfloat16
+        )
 
     def run(fn, *args):
         # Chain the calls: call i+1's scalar input depends on call i's
@@ -426,14 +436,20 @@ def bench_large_gallery(
 
     t_xla, (ids_x, best_x) = run(xla_match, feats, gallery)
     t_pl, (ids_p, best_p) = run(pl_match, feats, gallery_t, gnorm)
+    t_pb, (ids_b, best_b) = run(pl_match_bf16, feats, gallery_t, gnorm)
     agree = float(jnp.mean((ids_x == ids_p).astype(jnp.float32)))
+    agree_b = float(jnp.mean((ids_x == ids_b).astype(jnp.float32)))
+    t_best = min(t_pl, t_pb)
     return {
         "large_gallery_shape": f"B={b} k={k} N={n}",
         "large_gallery_xla_ms": round(t_xla * 1e3, 3),
         "large_gallery_pallas_ms": round(t_pl * 1e3, 3),
+        "large_gallery_pallas_bf16_ms": round(t_pb * 1e3, 3),
         "large_gallery_pallas_speedup": round(t_xla / t_pl, 2),
-        "large_gallery_crops_per_s": round(b / t_pl, 1),
+        "large_gallery_pallas_bf16_speedup": round(t_xla / t_pb, 2),
+        "large_gallery_crops_per_s": round(b / t_best, 1),
         "large_gallery_ids_agree": agree,
+        "large_gallery_ids_agree_bf16": agree_b,
     }
 
 

@@ -231,9 +231,10 @@ def fused_match_pallas(
 
 def _gallery_match_kernel(
     feats_ref,  # (TB, k) crop features (already projected)
-    fnorm_ref,  # (TB, 1) feature L2 norms
+    frinv_ref,  # (TB, 1) f32 reciprocal feature norms (0 if norm 0)
     gallery_t_ref,  # (k, TN) one gallery tile
-    gnorm_ref,  # (1, TN) tile row norms (0 for padded rows)
+    grinv_ref,  # (1, TN) f32 reciprocal row norms (0 for zero-norm rows)
+    gmask_ref,  # (1, TN) f32 additive mask: 0 valid, -inf sentinel rows
     best_ref,  # (TB, 1) f32 out: running best cosine
     idx_ref,  # (TB, 1) i32 out: running argmax row
 ):
@@ -248,15 +249,11 @@ def _gallery_match_kernel(
     dots = jnp.dot(
         feats_ref[:], gallery_t_ref[:], preferred_element_type=jnp.float32
     )
-    denom = fnorm_ref[:] * gnorm_ref[0][None, :]
-    safe = denom > 0.0
-    # Matches ops.similarity.cosine_gallery: zero-norm pairs score 0.
-    # Rows with SENTINEL norm < 0 (padding/invalid) score -inf.
-    cos = jnp.where(
-        safe,
-        dots / jnp.where(safe, denom, 1.0),
-        jnp.where(denom < 0.0, -jnp.inf, 0.0),
-    )
+    # Normalization as two reciprocal MULTIPLIES (precomputed outside):
+    # zero-norm features or rows get reciprocal 0 -> cosine 0, exactly
+    # like ops.similarity.cosine_gallery; sentinel (invalid) rows carry
+    # an additive -inf mask and can never win.
+    cos = dots * frinv_ref[:] * grinv_ref[0][None, :] + gmask_ref[0][None, :]
     local_best = jnp.max(cos, axis=1)
     local_idx = jnp.argmax(cos, axis=1).astype(jnp.int32) + j * tn
     # Strict > keeps the FIRST maximum across tiles -- row-major
@@ -266,25 +263,40 @@ def _gallery_match_kernel(
     idx_ref[:, 0] = jnp.where(upd, local_idx, idx_ref[:, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_b", "tile_n", "interpret", "operand_dtype"),
+)
 def gallery_match_pallas(
     feats: jnp.ndarray,  # (B, k)
     gallery_t: jnp.ndarray,  # (k, N)
-    gallery_norm: jnp.ndarray,  # (N,) -- 0 marks padded rows
-    tile_b: int = 256,
-    tile_n: int = 2048,
+    gallery_norm: jnp.ndarray,  # (N,) -- negative marks invalid rows
+    tile_b: int = 1024,
+    tile_n: int = 1024,
     interpret: bool = False,
+    operand_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming cosine argmax against a LARGE gallery.
 
     The plain-XLA path materializes the full ``(B, N)`` cosine matrix in
     HBM (the dot is a library matmul; the max/argmax reductions read it
-    back), i.e. ~3 HBM passes over ``B x N`` floats.  Here each gallery
-    tile is read once into VMEM and only the running ``(best, idx)``
-    pair (8 bytes/crop) ever leaves -- at N >= 1e5 this is the
-    difference between bandwidth-bound and compute-bound, and it is the
-    per-shard inner loop of :func:`..parallel.sharding.
-    sharded_gallery_match` for sharded galleries.
+    back).  Here each gallery tile is read into VMEM ONCE for the whole
+    batch and only the running ``(best, idx)`` pair (8 bytes/crop) ever
+    leaves; it is the per-shard inner loop of
+    :func:`..parallel.sharding.sharded_gallery_match`.
+
+    Layout lesson (BENCH_r02): with ``tile_b`` < B the gallery streams
+    from HBM once PER BATCH TILE (grid iterates batch-major), which at
+    B=1024/tile_b=256 made the kernel 4x memory-bound and *slower* than
+    XLA.  ``tile_b`` therefore defaults to the whole batch (clamped to
+    1024 rows = 512 KB of f32 feats in VMEM); norms are folded as
+    reciprocal multiplies so the inner loop is one MXU dot + VPU max.
+
+    ``operand_dtype=jnp.bfloat16`` casts both dot operands to bf16 --
+    the same single-pass-MXU rounding XLA's default f32 matmul
+    precision applies -- roughly doubling MXU throughput and halving
+    the gallery's HBM/VMEM footprint.  The cosine epilogue stays f32.
+    ``None`` keeps full f32 operands (exact; the interpret-mode oracle).
 
     ``B % tile_b == 0``, ``N % tile_n == 0``.  ``gallery_norm`` doubles
     as the validity channel: pass the true row norm for valid rows and
@@ -295,7 +307,14 @@ def gallery_match_pallas(
     b, k = feats.shape
     n = gallery_t.shape[1]
     assert b % tile_b == 0 and n % tile_n == 0, (b, tile_b, n, tile_n)
-    fnorm = jnp.linalg.norm(feats, axis=1, keepdims=True)
+    fnorm = jnp.linalg.norm(
+        feats.astype(jnp.float32), axis=1, keepdims=True
+    )
+    frinv = jnp.where(fnorm > 0, 1.0 / jnp.where(fnorm > 0, fnorm, 1.0), 0.0)
+    gn = gallery_norm.reshape(1, -1).astype(jnp.float32)
+    grinv = jnp.where(gn > 0, 1.0 / jnp.where(gn > 0, gn, 1.0), 0.0)
+    gmask = jnp.where(gn < 0, -jnp.inf, 0.0).astype(jnp.float32)
+    dt = operand_dtype or feats.dtype
     grid = (b // tile_b, n // tile_n)
     best, idx = pl.pallas_call(
         _gallery_match_kernel,
@@ -313,6 +332,9 @@ def gallery_match_pallas(
             pl.BlockSpec(
                 (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -325,14 +347,16 @@ def gallery_match_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
-            bytes_accessed=4 * (b * k + k * n + 2 * b),
+            bytes_accessed=jnp.dtype(dt).itemsize * (b * k + k * n)
+            + 4 * 2 * b,
             transcendentals=0,
         ),
     )(
-        feats.astype(jnp.float32),
-        fnorm.astype(jnp.float32),
-        gallery_t.astype(jnp.float32),
-        gallery_norm.reshape(1, -1).astype(jnp.float32),
+        feats.astype(dt),
+        frinv.astype(jnp.float32),
+        gallery_t.astype(dt),
+        grinv,
+        gmask,
     )
     return idx[:, 0], best[:, 0]
 

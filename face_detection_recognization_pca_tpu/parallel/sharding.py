@@ -101,9 +101,12 @@ def sharded_gallery_match(
         )
 
         b = feats.shape[0]
-        tile_b = min(256, b) if b % 256 else 256
-        bpad = -(-b // tile_b) * tile_b
-        tile_n = 2048 if shard_n >= 2048 else shard_n
+        # One batch tile when possible: tile_b < B makes the gallery
+        # stream from HBM once per batch tile (BENCH_r02's 0.89x loss).
+        bpad = -(-b // 8) * 8  # f32 sublane alignment
+        tile_b = min(bpad, 1024)
+        bpad = -(-bpad // tile_b) * tile_b
+        tile_n = 1024 if shard_n >= 1024 else shard_n
         npad = -(-shard_n // tile_n) * tile_n
         f = jnp.pad(feats, ((0, bpad - b), (0, 0)))
         g = jnp.pad(gal, ((0, npad - shard_n), (0, 0)))

@@ -224,3 +224,43 @@ def test_gather_patches_rowblock_matches_slice_form(rng):
         )(integrals, lvl, cy, cx)
     )
     np.testing.assert_array_equal(ref, got)
+
+
+def test_gallery_match_pallas_bf16_operands(rng):
+    """operand_dtype=bf16 (the TPU speed path: XLA-default-precision
+    rounding of both dot operands) picks the same winners as an oracle
+    computed with the same casts, and near-identical confidences."""
+    import jax.numpy as jnp
+
+    from face_detection_recognization_pca_tpu.ops.pallas_kernels import (
+        gallery_match_pallas,
+    )
+
+    b, k, n = 16, 32, 256
+    feats = rng.normal(0, 1, (b, k)).astype(np.float32)
+    gallery = rng.normal(0, 1, (n, k)).astype(np.float32)
+    for i in range(b):  # planted exact matches, one per batch row
+        gallery[i * 16] = feats[i]
+    gnorm = np.linalg.norm(gallery, axis=1).astype(np.float32)
+
+    ids, best = gallery_match_pallas(
+        jnp.asarray(feats),
+        jnp.asarray(gallery.T),
+        jnp.asarray(gnorm),
+        tile_b=16,
+        tile_n=64,
+        interpret=True,
+        operand_dtype=jnp.bfloat16,
+    )
+    # Oracle with identical bf16 operand rounding, f32 accumulate.
+    dots = feats.astype(jnp.bfloat16).astype(np.float32) @ (
+        gallery.astype(jnp.bfloat16).astype(np.float32).T
+    )
+    cos = dots / (np.linalg.norm(feats, axis=1, keepdims=True) * gnorm[None, :])
+    np.testing.assert_array_equal(np.asarray(ids), cos.argmax(axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.arange(b) * 16
+    )  # planted matches win even under bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(best), cos.max(axis=1), rtol=2e-3, atol=2e-3
+    )
