@@ -739,7 +739,8 @@ class HaarDetector:
         top_k: int = 512,
         fused_pyramid: bool = True,
         k_per_level: int = 512,
-        pyramid_chunk: int = 5,
+        pyramid_chunk: Optional[int] = None,
+        max_device_batch: Optional[int] = None,
     ):
         # Default prefilter depth is a per-backend TUNING choice (the
         # math is identical either way, and the funnel is exact via
@@ -775,10 +776,20 @@ class HaarDetector:
         self._k_pool_b = k_per_level * 2
         # Levels fused per program: phase A unrolls ~4k HLO ops per
         # level, and XLA compile time grows superlinearly -- a whole
-        # 30-level 960x544 pyramid in one program compiles for >15 min,
-        # while 5-level chunks compile in seconds each and still cut
-        # dispatches/frame ~10x (6 chunk programs vs ~60 resize+eval
-        # round-trips).
+        # 30-level 960x544 pyramid in one program compiles for >15 min.
+        # Per-backend default: 5-level chunks on CPU (fewer, smaller
+        # compiles for the single-core test suite), 2 on TPU -- the
+        # current v5e runtime FAULTS executing the 5-level B=16 544p
+        # chunk (340 MB of generated code; measured r3: compile ok,
+        # execute crashes the worker) while the 2-level 160 MB program
+        # executes fine.  Dispatches stay async, so more chunks cost
+        # queue slots, not round-trips.
+        if pyramid_chunk is None:
+            try:
+                on_cpu_c = jax.default_backend() == "cpu"
+            except Exception:
+                on_cpu_c = False
+            pyramid_chunk = 5 if on_cpu_c else 2
         self.pyramid_chunk = pyramid_chunk
         self._pyramid_cache: dict = {}
         # Learned pool-capacity floors per level chunk: when a call's
@@ -790,6 +801,22 @@ class HaarDetector:
         # re-ran its chunks on EVERY call (measured: B=32 collapsed to
         # 13 fps vs 59 at B=16 on test.mp4).
         self._cap_floor: dict = {}
+        # Batch ceiling per device dispatch: B=16 measured best on v5e
+        # (59/69 fps; a single B=32 program collapsed to 13 fps --
+        # capacity retries fire every call and the 2x chunk programs
+        # degrade).  Wider caller batches split into pipelined B=16
+        # sub-batches (all device halves issue before any finish), so
+        # B=32 is now >= B=16 throughput by construction and reuses the
+        # cached B=16 programs.  0 disables splitting (CPU default: the
+        # test suite drives small batches and per-shape compiles are
+        # the scarce resource there).
+        if max_device_batch is None:
+            try:
+                on_cpu_b = jax.default_backend() == "cpu"
+            except Exception:
+                on_cpu_b = False
+            max_device_batch = 0 if on_cpu_b else 16
+        self.max_device_batch = int(max_device_batch)
         self.last_dispatches = 0  # device calls in the last detect call
 
     def _get_pyramid_fn(self, levels, ka, kb):
@@ -907,6 +934,41 @@ class HaarDetector:
         if not isinstance(grays, jnp.ndarray):
             grays = np.asarray(grays)
         nb, h, w = grays.shape
+        mdb = self.max_device_batch
+        if mdb and nb > mdb:
+            # Split into pipelined sub-batches at the measured-best
+            # device batch: every sub-batch's device half is issued
+            # before any finish, so downloads overlap compute exactly
+            # like a streaming caller's.
+            subs = []
+            for s0 in range(0, nb, mdb):
+                part = grays[s0 : s0 + mdb]
+                valid = part.shape[0]
+                if valid < mdb:  # pad the tail: same cached programs
+                    if isinstance(part, jnp.ndarray):
+                        part = jnp.concatenate(
+                            [
+                                part.astype(jnp.float32),
+                                jnp.zeros((mdb - valid, h, w), jnp.float32),
+                            ]
+                        )
+                    else:
+                        part = np.concatenate(
+                            [
+                                part.astype(np.float32),
+                                np.zeros((mdb - valid, h, w), np.float32),
+                            ]
+                        )
+                subs.append(
+                    (
+                        self.detect_device(
+                            part, scale_factor, min_neighbors,
+                            min_size, max_size,
+                        ),
+                        valid,
+                    )
+                )
+            return {"sub": subs}
         wh, ww = self.cascade.window_size
         levels = _pyramid_levels(
             h, w, (wh, ww), scale_factor, min_size, max_size
@@ -1009,6 +1071,14 @@ class HaarDetector:
     ) -> List[List[Tuple[int, int, int, int]]]:
         """Host half: download the packed candidates, re-run any chunk
         whose pools truncated (exactness contract), unpack and group."""
+        if "sub" in handle:
+            out: List[List[Tuple[int, int, int, int]]] = []
+            total = 0
+            for sub_handle, valid in handle["sub"]:
+                out.extend(self.detect_finish(sub_handle)[:valid])
+                total += self.last_dispatches
+            self.last_dispatches = total
+            return out
         if "empty" in handle:
             return [[] for _ in range(handle["empty"])]
         if "per_level" in handle:

@@ -420,9 +420,19 @@ class TemplateDetector:
         matches faces at ``scale x`` canonical size in the original),
         mirroring the reference's template-side scaling up to
         resampling order."""
-        cfg = self.config
-        nb = frames_gray.shape[0]
         scale_meta, packed_d = self.detect_fused_device(frames_gray)
+        return self.detect_fused_finish(
+            scale_meta, packed_d, frames_gray.shape[0]
+        )
+
+    def detect_fused_finish(
+        self, scale_meta, packed_d, nb: int
+    ) -> List[List[Detection]]:
+        """Host half of :meth:`detect_fused_batch`: download the packed
+        (S, 3, B, T) results and run per-frame box selection + NMS.
+        Callers pipelining batches issue :meth:`detect_fused_device` for
+        batch N+1 before finishing batch N."""
+        cfg = self.config
         if packed_d is None:
             return [[] for _ in range(nb)]
         packed = np.asarray(packed_d)

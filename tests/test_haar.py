@@ -134,3 +134,28 @@ def test_pool_overflow_retry_learns_capacity(cascade, rng):
     second = det.detect_multi_scale(noise, 1.1, 5, (30, 30))
     assert second == first
     assert det.last_dispatches < d_first  # no retry dispatches now
+
+
+def test_batch_splitting_matches_unsplit(reference_root, detector):
+    """max_device_batch splits wide batches into pipelined sub-batches
+    (cached-program reuse on TPU; B=32 >= B=16 by construction) with
+    identical detections, including a padded tail sub-batch."""
+    import cv2
+
+    cap = cv2.VideoCapture(os.path.join(reference_root, "videos/test.mp4"))
+    frames = []
+    for _ in range(5):
+        ret, fr = cap.read()
+        if not ret:
+            break
+        frames.append(
+            cv2.resize(cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY), (480, 272))
+        )
+    cap.release()
+    batch = np.stack(frames)  # 5 frames -> sub-batches of 2, 2, 1(+pad)
+    split_det = HaarDetector(max_device_batch=2)
+    got = split_det.detect_multi_scale_batch(batch, 1.1, 3, (24, 24))
+    want = split_det_ref = HaarDetector(max_device_batch=0)
+    want = split_det_ref.detect_multi_scale_batch(batch, 1.1, 3, (24, 24))
+    assert got == want
+    assert len(got) == 5
