@@ -300,11 +300,12 @@ def bench_haar(
     single-program pyramid (6 chunk dispatches + 1 packed download per
     frame-batch) on device-resident frames, host grouping included.
 
-    batch=16 measured best on v5e (scripts_dev/probe_haar_batch.py:
-    59/69 fps blocking/pipelined vs 54 at B=8; B=32 collapses to 13 fps
-    -- a capacity retry fires every call and the big chunk programs
-    degrade, likely VMEM pressure).  The per-batch cost is dominated by
-    per-dispatch tunnel overhead, so wider batches amortize it.
+    batch=16 at the caller; the detector splits it into pipelined
+    B=8 device sub-batches (the measured-safe ceiling on the current
+    v5e runtime -- B=16 device programs fault on the level-4 chunk
+    with real frames; docs/DESIGN.md section 11).  The per-batch cost
+    is dominated by per-dispatch tunnel overhead, so wide caller
+    batches still amortize it.
 
     Frames are REAL video pixels when the reference videos are present
     (pure noise has pathological phase-A survivor counts that trigger
@@ -763,7 +764,9 @@ def bench_e2e_video(
             bgrs.append(frame)
             grays.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
             if len(bgrs) == batch:
-                stack = np.stack(grays).astype(np.float32)
+                # Upload u8 (4x fewer bytes through the ~13 MB/s test
+                # tunnel); the detectors cast to f32 on device.
+                stack = np.stack(grays)
                 handle = detect_device(jnp.asarray(stack))
                 if pending is not None:
                     finish(pending)
@@ -771,7 +774,7 @@ def bench_e2e_video(
                 bgrs, grays = [], []
         if bgrs:  # tail partial batch, padded to the compiled shape
             stack = np.zeros((batch, grays[0].shape[0], grays[0].shape[1]),
-                             np.float32)
+                             np.uint8)
             stack[: len(grays)] = np.stack(grays)
             handle = detect_device(jnp.asarray(stack))
             if pending is not None:

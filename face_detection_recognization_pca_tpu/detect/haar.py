@@ -503,6 +503,16 @@ def _make_pyramid_fn(
     cx_all = np.concatenate(cx_np)
     max_h = max(sh for (_, sh, _, _) in levels)
     max_w = max(sw for (_, _, sw, _) in levels)
+    # Stacked-integral pad targets are f32 tile-aligned (8, 128): the
+    # row-block gather dynamic-slices (1, side, W) rows at
+    # data-dependent (level, y) starts, and tile-aligned rows keep
+    # every such slice lane-aligned (VMEM-friendlier; gathered values
+    # are unchanged -- the pad region is zeros beyond every window's
+    # read range).  NOTE: alignment alone did NOT fix the r3 level-4
+    # B=16 device fault (see max_device_batch); it is kept for layout
+    # hygiene, not as the fault dodge it was first hoped to be.
+    pad_h = -(-(max_h + 1) // 8) * 8
+    pad_w = -(-(max_w + 1) // 128) * 128
 
     # Stage-membership (one-hot) matrices for the matmul phases:
     # (n_stumps_in_phase, n_stages_in_phase) so stage sums are matmuls
@@ -557,7 +567,7 @@ def _make_pyramid_fn(
         # pooled (level, y, x) gathers work across the chunk.
         integral = jnp.pad(
             integral,
-            ((0, max_h + 1 - integral.shape[0]), (0, max_w + 1 - integral.shape[1])),
+            ((0, pad_h - integral.shape[0]), (0, pad_w - integral.shape[1])),
         )
         return passed.reshape(-1), nf.reshape(-1), integral
 
@@ -801,22 +811,36 @@ class HaarDetector:
         # re-ran its chunks on EVERY call (measured: B=32 collapsed to
         # 13 fps vs 59 at B=16 on test.mp4).
         self._cap_floor: dict = {}
-        # Batch ceiling per device dispatch: B=16 measured best on v5e
-        # (59/69 fps; a single B=32 program collapsed to 13 fps --
+        # Batch ceiling per device dispatch.  B=16 measured best on the
+        # r2 v5e runtime (59/69 fps; B=32 collapsed to 13 fps --
         # capacity retries fire every call and the 2x chunk programs
-        # degrade).  Wider caller batches split into pipelined B=16
-        # sub-batches (all device halves issue before any finish), so
-        # B=32 is now >= B=16 throughput by construction and reuses the
-        # cached B=16 programs.  0 disables splitting (CPU default: the
-        # test suite drives small batches and per-shape compiles are
-        # the scarce resource there).
+        # degrade), but the CURRENT runtime deterministically faults
+        # executing the 544p level-4 chunk at B=16 on real frames
+        # (passes on zeros; passes at B=8; r3 bisect,
+        # /tmp/haar_bisect.log -- neither tile-aligned pads nor a
+        # fully-dense gather changed it, so it is batch-size-triggered,
+        # not an indexing miscompile we can dodge).  B=8 is the
+        # measured-safe ceiling.  Wider caller batches split into
+        # pipelined sub-batches (all device halves issue before any
+        # finish), so B>=16 throughput still pipelines over the cached
+        # B=8 programs.  0 disables splitting (CPU default: the test
+        # suite drives small batches and per-shape compiles are the
+        # scarce resource there).
         if max_device_batch is None:
             try:
                 on_cpu_b = jax.default_backend() == "cpu"
             except Exception:
                 on_cpu_b = False
-            max_device_batch = 0 if on_cpu_b else 16
+            max_device_batch = 0 if on_cpu_b else 8
         self.max_device_batch = int(max_device_batch)
+        # In-flight chunk-program bound: each 544p B=16 chunk program
+        # needs ~1.2 GB of device temp (compiled.memory_analysis();
+        # ~half that at B=8), and enqueueing all pyramid chunks
+        # back-to-back crashes the current v5e worker (measured r3:
+        # every chunk executes fine sequentially, the async burst
+        # faults the device).  Blocking on every Nth chunk's output
+        # bounds concurrent temp reservations.
+        self.max_inflight_chunks = 4
         self.last_dispatches = 0  # device calls in the last detect call
 
     def _get_pyramid_fn(self, levels, ka, kb):
@@ -1038,6 +1062,10 @@ class HaarDetector:
             dispatches += 1
             chunk_meta.append((c0, cap, ka, kb, int(outs[0].shape[1])))
             device_out.append(outs)
+            if len(device_out) % self.max_inflight_chunks == 0:
+                # Device executes in order: blocking here caps the
+                # concurrently-reserved chunk temps (see __init__).
+                jax.block_until_ready(outs[0])
 
         # Phase 2: ONE jitted pack program for all chunk outputs (the
         # download itself happens in detect_finish).  Per-call

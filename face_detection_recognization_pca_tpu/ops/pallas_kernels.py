@@ -421,7 +421,20 @@ def _gather_patches_rowblock(
     cx: jnp.ndarray,
     side: int,
 ) -> jnp.ndarray:
-    """Accelerator form of :func:`gather_patches` (exact on any backend)."""
+    """Accelerator form of :func:`gather_patches` (exact on any backend).
+
+    Row blocks by ``vmap(dynamic_slice)`` (one sequential Mosaic loop
+    iteration per candidate, ~1-3 us each), then the per-candidate
+    column window selected by a one-hot matmul at HIGHEST precision.
+
+    A fully-dense variant (row selection ALSO a one-hot matmul, zero
+    data-dependent memory ops) was tried in r3 while chasing the
+    level-4 B=16 device fault: it did NOT fix the fault (the fault is
+    batch-size-, not gather-, triggered; see detect/haar.py
+    max_device_batch) and its (K*side, L*H) one-hot operand costs
+    ~200 MB/frame of HBM temp at K=512 on the big 544p chunk, so the
+    row-block form stays.
+    """
     w = integrals.shape[-1]
     k = lvl.shape[0]
 
