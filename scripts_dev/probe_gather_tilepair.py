@@ -53,57 +53,8 @@ from jax import lax  # noqa: E402
 
 from face_detection_recognization_pca_tpu.ops.pallas_kernels import (  # noqa: E402
     _gather_patches_rowblock,
+    gather_patches_tilepair,
 )
-
-
-def gather_patches_tilepair(integrals, lvl, cy, cx, side):
-    """(K, side, side) patches at (lvl, cy, cx); no data-dependent
-    memory ops -- three exact one-hot matmuls over a static tile stack.
-
-    Requires 0 <= cy <= H - side and 0 <= cx <= W - side (the shipped
-    row-block form gets the same guarantee from dynamic_slice clamping;
-    phase-B candidate grids satisfy it by construction).
-    """
-    ll, h, w = integrals.shape
-    k = lvl.shape[0]
-    dt = integrals.dtype
-    t_count = (h - side) // side + 1
-    hp = (t_count + 1) * side  # last tile spans [(T-1)*side, (T+1)*side)
-    padded = jnp.pad(integrals, ((0, 0), (0, hp - h), (0, 0)))
-    # Static overlapping y-tile pairs: (L, T, 2*side, W) -> (L*T, 2*side*W)
-    tiles = jnp.stack(
-        [padded[:, t * side : (t + 2) * side, :] for t in range(t_count)],
-        axis=1,
-    ).reshape(ll * t_count, 2 * side * w)
-
-    tid = lvl * t_count + cy // side  # (K,)
-    r = cy % side  # (K,) in-tile row offset
-
-    # 1. tile select: (K, L*T) @ (L*T, 2*side*W)
-    i1 = lax.broadcasted_iota(jnp.int32, (k, ll * t_count), 1)
-    oh1 = (i1 == tid[:, None]).astype(dt)
-    cand = jnp.dot(
-        oh1, tiles, preferred_element_type=dt,
-        precision=lax.Precision.HIGHEST,
-    ).reshape(k, 2 * side, w)
-
-    # 2. row select: (K, side, 2*side) x (K, 2*side, W) -> (K, side, W)
-    i2 = lax.broadcasted_iota(jnp.int32, (k, side, 2 * side), 1)
-    j2 = lax.broadcasted_iota(jnp.int32, (k, side, 2 * side), 2)
-    oh2 = (j2 == r[:, None, None] + i2).astype(dt)
-    rows = lax.dot_general(
-        oh2, cand, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dt, precision=lax.Precision.HIGHEST,
-    )
-
-    # 3. col select: (K, side, W) x (K, W, side) -> (K, side, side)
-    j3 = lax.broadcasted_iota(jnp.int32, (k, w, side), 1)
-    t3 = lax.broadcasted_iota(jnp.int32, (k, w, side), 2)
-    oh3 = (j3 == cx[:, None, None] + t3).astype(dt)
-    return lax.dot_general(
-        rows, oh3, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dt, precision=lax.Precision.HIGHEST,
-    )
 
 
 def main(batch: int = 8, k: int = 512) -> None:
@@ -146,20 +97,27 @@ def main(batch: int = 8, k: int = 512) -> None:
     print(f"exact: both forms bit-equal on B={batch} K={k} "
           f"(L={ll},H={h},W={w},side={side})", flush=True)
 
-    def timeit(name, fn):
+    def timeit(name, fn, iters=20):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         warm = time.perf_counter() - t0
-        dt = float("inf")
-        for i in range(5):
-            # Vary inputs per call so tunnel repeat-call dedup can't
-            # fake timings; chain on the integral payload.
-            a0 = args[0] + np.float32(1e-3 * (i + 1))
+        # Chained dependent calls: each input depends on the previous
+        # output, so repeat-call dedup can't fake timings and the
+        # per-call tunnel dispatch latency amortizes (same convention
+        # as the 4.7 ms row-block number in the gather_patches
+        # docstring / scripts_dev/probe_haar_phases.py).
+        best = float("inf")
+        for _ in range(3):
+            a0 = args[0]
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(a0, *args[1:]))
-            dt = min(dt, time.perf_counter() - t0)
-        print(f"{name}: warm={warm:.1f}s best={dt*1e3:.2f}ms", flush=True)
-        return dt
+            for _ in range(iters):
+                out = fn(a0, *args[1:])
+                a0 = args[0] + out[:, :1, :1, 0] * np.float32(1e-6)
+            jax.block_until_ready(a0)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        print(f"{name}: warm={warm:.1f}s best={best*1e3:.2f}ms/call "
+              f"(chained x{iters})", flush=True)
+        return best
 
     tr = timeit("row-block (shipped)", f_row)
     tt = timeit("tile-pair (probe)  ", f_tile)
