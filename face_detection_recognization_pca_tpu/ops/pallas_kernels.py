@@ -483,7 +483,11 @@ def gather_patches_tilepair(
     (pinned by tests/test_pallas_fused.py).  The earlier fully-dense
     variant was rejected for its ~200 MB ``(K*side, L*H)`` one-hot; the
     tile pair splits that into two tiny operands (~7 GF/frame + a
-    20 MB/frame tile stack at the 544p chunk@5 shape).
+    20 MB/frame tile stack at the 544p chunk@5 shape).  Memory caution
+    (ADVICE r3): the ``cand`` intermediate is (K, 2*side, W) -- ~98 MB
+    per frame at K=512/side=25/W=961 f32, ~790 MB at batch 8 -- UNLESS
+    XLA fuses the tile-select matmul into the row-select; watch HBM on
+    the v5e measurement run before routing this to production.
 
     NOT routed to production: v5e measurement
     (scripts_dev/probe_gather_tilepair.py) decides whether this

@@ -112,7 +112,9 @@ def main(batch: int = 8, k: int = 512) -> None:
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(a0, *args[1:])
-                a0 = args[0] + out[:, :1, :1, 0] * np.float32(1e-6)
+                # (B,1,1,1) so it broadcasts over the (B,L,H,W) integrals
+                # for any B (ADVICE r3: (B,1,1) fails when B != L).
+                a0 = args[0] + out[:, :1, :1, :1] * np.float32(1e-6)
             jax.block_until_ready(a0)
             best = min(best, (time.perf_counter() - t0) / iters)
         print(f"{name}: warm={warm:.1f}s best={best*1e3:.2f}ms/call "
