@@ -843,6 +843,52 @@ class HaarDetector:
         self.max_inflight_chunks = 4
         self.last_dispatches = 0  # device calls in the last detect call
 
+    def _chunk_caps(self, part) -> Tuple[int, int, int]:
+        """Candidate-pool sizing (cap, ka, kb) for one pyramid chunk.
+
+        Right-sizes the pools by the chunk's window count.  With the
+        deep (10-stage) dense prefilter, survivors on real footage are
+        ~0.1% (pool at ~0.2%); the legacy shallow prefilter keeps the
+        two-tier capacities.  Exact counts come back with the results,
+        so an undersized pool costs one doubled retry -- never a wrong
+        detection.  Shared by :meth:`detect_device` and the standalone
+        B=16 fault repro (``scripts_dev/repro_haar_b16_fault.py``) so
+        the repro builds byte-identical programs."""
+        wh, ww = self.cascade.window_size
+        n_pool = sum(
+            (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
+            for (_, sh, sw, st) in part
+        )
+        if self._single_pool:
+            # Grouped two-pool sizing: ka = block pool (survivor blocks
+            # <= survivor windows, so the old window floor is safe),
+            # kb = window slots (same sizing as the old single pool --
+            # gather/tail cost unchanged).
+            cap = -(-n_pool // self._pool_group)
+            ka = min(
+                self._k_pool_a,
+                cap,
+                max(256, _next_pow2(n_pool // 1024)),
+            )
+            kb = min(
+                self._k_pool_b,
+                ka * self._pool_group,
+                max(256, _next_pow2(n_pool // 512)),
+            )
+        else:
+            cap = n_pool
+            ka = min(
+                self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16))
+            )
+            kb = min(
+                self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256))
+            )
+        floor = self._cap_floor.get(tuple(part))
+        if floor is not None:
+            ka = min(max(ka, floor[0]), cap)
+            kb = min(max(kb, floor[1]), ka * self._pool_group)
+        return cap, ka, kb
+
     def _get_pyramid_fn(self, levels, ka, kb):
         key = (tuple(levels), ka, kb, self._pool_group)
         if key not in self._pyramid_cache:
@@ -1019,44 +1065,7 @@ class HaarDetector:
         device_out = []  # per chunk: (ok, cx, cy, lid, count_a, count_b1)
         for c0 in range(0, len(levels), chunk):
             part = levels[c0 : c0 + chunk]
-            n_pool = sum(
-                (((sh - wh) // st + 1) * ((sw - ww) // st + 1))
-                for (_, sh, sw, st) in part
-            )
-            # Right-size the pools by the chunk's window count.  With
-            # the deep (10-stage) dense prefilter, survivors on real
-            # footage are ~0.1% (pool at ~0.2%); the legacy shallow
-            # prefilter keeps the two-tier capacities.  Exact counts
-            # come back with the results, so an undersized pool costs
-            # one doubled retry -- never a wrong detection.
-            if self._single_pool:
-                # Grouped two-pool sizing: ka = block pool (survivor
-                # blocks <= survivor windows, so the old window floor
-                # is safe), kb = window slots (same sizing as the old
-                # single pool -- gather/tail cost unchanged).
-                cap = -(-n_pool // self._pool_group)
-                ka = min(
-                    self._k_pool_a,
-                    cap,
-                    max(256, _next_pow2(n_pool // 1024)),
-                )
-                kb = min(
-                    self._k_pool_b,
-                    ka * self._pool_group,
-                    max(256, _next_pow2(n_pool // 512)),
-                )
-            else:
-                cap = n_pool
-                ka = min(
-                    self._k_pool_a, n_pool, max(256, _next_pow2(n_pool // 16))
-                )
-                kb = min(
-                    self._k_pool_b, ka, max(128, _next_pow2(n_pool // 256))
-                )
-            floor = self._cap_floor.get(tuple(part))
-            if floor is not None:
-                ka = min(max(ka, floor[0]), cap)
-                kb = min(max(kb, floor[1]), ka * self._pool_group)
+            cap, ka, kb = self._chunk_caps(part)
             fn_one, fn_batch = self._get_pyramid_fn(part, ka, kb)
             outs = fn_one(frames_j[0]) if nb == 1 else fn_batch(frames_j)
             dispatches += 1

@@ -456,94 +456,6 @@ def _gather_patches_rowblock(
     )  # (K, side, side)
 
 
-def gather_patches_tilepair(
-    integrals: jnp.ndarray,  # (L, H, W) stacked level integrals
-    lvl: jnp.ndarray,  # (K,) i32
-    cy: jnp.ndarray,  # (K,) i32
-    cx: jnp.ndarray,  # (K,) i32
-    side: int,
-) -> jnp.ndarray:
-    """(K, side, side) patches with ZERO data-dependent memory ops.
-
-    Alternative to :func:`_gather_patches_rowblock` that replaces the
-    per-candidate ``vmap(dynamic_slice)`` (one sequential Mosaic loop
-    iteration each, ~1-3 us) with three exact one-hot matmuls over a
-    STATIC stack of overlapping y-tile pairs:
-
-    1. pre-slice ``integrals`` into ``(2*side, W)`` tiles at stride
-       ``side`` (static slices -- no gathers); any window
-       ``[cy, cy+side)`` lies inside tile ``cy // side`` because the
-       in-tile offset ``cy % side`` satisfies ``r + side <= 2*side``;
-    2. tile select: ``(K, L*T)`` one-hot @ ``(L*T, 2*side*W)``;
-    3. row select: ``(K, side, 2*side)`` one-hot, batched;
-    4. col select: ``(K, W, side)`` one-hot (same as the shipped form).
-
-    Every matmul multiplies by exactly 1.0/0.0 at HIGHEST precision, so
-    the result is bit-identical to the direct slice on every backend
-    (pinned by tests/test_pallas_fused.py).  The earlier fully-dense
-    variant was rejected for its ~200 MB ``(K*side, L*H)`` one-hot; the
-    tile pair splits that into two tiny operands (~7 GF/frame + a
-    20 MB/frame tile stack at the 544p chunk@5 shape).  Memory caution
-    (ADVICE r3): the ``cand`` intermediate is (K, 2*side, W) -- ~98 MB
-    per frame at K=512/side=25/W=961 f32, ~790 MB at batch 8 -- UNLESS
-    XLA fuses the tile-select matmul into the row-select; watch HBM on
-    the v5e measurement run before routing this to production.
-
-    NOT routed to production: v5e measurement
-    (scripts_dev/probe_gather_tilepair.py) decides whether this
-    replaces the row-block form -- and switching changes every Haar
-    chunk program's HLO, which forces a full persistent-cache re-warm
-    (docs/NEXT.md).  Requires ``0 <= cy <= H - side`` and
-    ``0 <= cx <= W - side`` (phase-B candidate grids satisfy both by
-    construction; the row-block form gets the same guarantee from
-    dynamic_slice clamping).
-    """
-    ll, h, w = integrals.shape
-    k = lvl.shape[0]
-    dt = integrals.dtype
-    t_count = (h - side) // side + 1
-    hp = (t_count + 1) * side
-    padded = jnp.pad(integrals, ((0, 0), (0, hp - h), (0, 0)))
-    tiles = jnp.stack(
-        [padded[:, t * side : (t + 2) * side, :] for t in range(t_count)],
-        axis=1,
-    ).reshape(ll * t_count, 2 * side * w)
-
-    tid = lvl * t_count + cy // side
-    r = cy % side
-
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (k, ll * t_count), 1)
-    oh1 = (i1 == tid[:, None]).astype(dt)
-    cand = jnp.dot(
-        oh1,
-        tiles,
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(k, 2 * side, w)
-
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (k, side, 2 * side), 1)
-    j2 = jax.lax.broadcasted_iota(jnp.int32, (k, side, 2 * side), 2)
-    oh2 = (j2 == r[:, None, None] + i2).astype(dt)
-    rows = jax.lax.dot_general(
-        oh2,
-        cand,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, side, W)
-
-    j3 = jax.lax.broadcasted_iota(jnp.int32, (k, w, side), 1)
-    t3 = jax.lax.broadcasted_iota(jnp.int32, (k, w, side), 2)
-    oh3 = (j3 == cx[:, None, None] + t3).astype(dt)
-    return jax.lax.dot_general(
-        rows,
-        oh3,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, side, side)
-
-
 def gather_patches_batch(
     integrals: jnp.ndarray,  # (B, L, H, W)
     lvl: jnp.ndarray,  # (B, K) i32
