@@ -39,9 +39,15 @@ def cache_dir() -> str:
     Repo-local (survives across driver rounds when the working tree is
     reused -- the Haar chunk programs take minutes each to compile
     through the remote-TPU tunnel) with a /tmp fallback when the repo
-    is not writable."""
+    is not writable.  ``FDRP_CACHE_DIR`` overrides the location -- used
+    to validate the cold-cache deadline contract (point it at an empty
+    dir) without discarding the warm cache."""
     import os
 
+    env = os.environ.get("FDRP_CACHE_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = os.path.join(repo, ".jax_cache")
     try:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -65,17 +66,28 @@ class TemplateBank:
       templates: list of (person_name, uint8 grayscale template) pairs.
       canonical_size: (th, tw) all templates are resampled to for the
         fused engine; None keeps native sizes (parity engine only).
+      native_sizes: original (h, w) per template when ``templates`` are
+        already canonical-sized (e.g. resized during native decode);
+        defaults to each template's own shape.
+
+    The reference applies its 0.8/1.0/1.2 scales to each template's
+    NATIVE size (``scan-template-v4.py:161-169``); canonicalizing to
+    128 for the fused engine must not shrink that size coverage, so the
+    bank records ``native_scale`` -- the median native/canonical size
+    ratio -- which the fused engine folds into its effective scales.
     """
 
     def __init__(
         self,
         templates: Sequence[Tuple[str, np.ndarray]],
         canonical_size: Optional[Tuple[int, int]] = (128, 128),
+        native_sizes: Optional[Sequence[Tuple[int, int]]] = None,
     ):
         self.entries = [(name, np.asarray(t)) for name, t in templates]
         self.person_names = sorted({name for name, _ in self.entries})
         self.person_index = {n: i for i, n in enumerate(self.person_names)}
         self.canonical_size = canonical_size
+        self.native_scale = 1.0
         if canonical_size is not None and self.entries:
             th, tw = canonical_size
             stack = []
@@ -88,6 +100,16 @@ class TemplateBank:
                 ids.append(self.person_index[name])
             self.canonical = jnp.asarray(np.stack(stack))  # (T, th, tw)
             self.template_person = jnp.asarray(np.array(ids, dtype=np.int32))
+            if native_sizes is None:
+                native_sizes = [t.shape[:2] for _, t in self.entries]
+            self.native_scale = float(
+                np.median(
+                    [
+                        math.sqrt((h * w) / float(th * tw))
+                        for (h, w) in native_sizes
+                    ]
+                )
+            )
         else:
             self.canonical = None
             self.template_person = None
@@ -118,14 +140,19 @@ class TemplateBank:
 
         if canonical_size is not None and jobs and native.available():
             th, tw = canonical_size
-            imgs, ok = native.decode_jpegs_batch(
-                [c for _, c in jobs], gray=True, size_wh=(tw, th)
+            imgs, ok, dims = native.decode_jpegs_batch(
+                [c for _, c in jobs], gray=True, size_wh=(tw, th),
+                return_dims=True,
             )
             pairs = [
                 (name, imgs[i])
                 for i, (name, _) in enumerate(jobs)
                 if ok[i]
             ]
+            # The decode already resized to canonical; keep the ORIGINAL
+            # sizes so native_scale reflects the on-disk crops.
+            sizes = [tuple(dims[i]) for i in range(len(jobs)) if ok[i]]
+            return TemplateBank(pairs, canonical_size, native_sizes=sizes)
         else:
             import cv2
 
@@ -369,8 +396,16 @@ class TemplateDetector:
         # dispatches + per-scale downloads through the remote tunnel
         # cost ~30-80 ms each and dominated the per-batch time); ONE
         # packed (S, 3, B, T) download carries every result back.
-        scale_meta = []  # (scale, box_w, box_h, mask, rw, rh)
-        for scale in cfg.template_scales:
+        #
+        # Effective scales: the reference applies cfg scales to NATIVE
+        # template sizes (scan-template-v4.py:161-169); the canonical
+        # template stands in for a native one ``native_scale`` larger,
+        # so each cfg scale is multiplied by that ratio -- otherwise a
+        # bank built from e.g. 219 px crops would only ever search
+        # 102-153 px boxes and never re-find its own faces.
+        scale_meta = []  # (eff_scale, box_w, box_h, mask, rw, rh)
+        for cfg_scale in cfg.template_scales:
+            scale = cfg_scale * self.bank.native_scale
             box_w = int(tw * scale)
             box_h = int(th * scale)
             if (

@@ -85,7 +85,8 @@ def decode_jpegs_batch(
     gray: bool = True,
     size_wh: Optional[Tuple[int, int]] = None,
     num_threads: int = 0,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_dims: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """Decode a batch of images in parallel native threads.
 
     Args:
@@ -93,9 +94,13 @@ def decode_jpegs_batch(
       gray: grayscale (1 channel) vs BGR (3 channels).
       size_wh: (width, height) resize applied in C++ (cv::INTER_LINEAR,
         identical values to the cv2 wheel); required (fixed slot size).
+      return_dims: also return each image's ORIGINAL (pre-resize)
+        (h, w) -- the C++ side always records them; template banks use
+        them to keep reference native-size scale semantics.
 
     Returns:
-      (images (n, h, w[, 3]) uint8, ok (n,) bool).
+      (images (n, h, w[, 3]) uint8, ok (n,) bool) and, with
+      ``return_dims``, original dims (n, 2) int32 as (h, w) rows.
     """
     lib = _load()
     if not lib:
@@ -120,6 +125,8 @@ def decode_jpegs_batch(
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )
+    if return_dims:
+        return out, ok.astype(bool), dims.reshape(n, 2)
     return out, ok.astype(bool)
 
 

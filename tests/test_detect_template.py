@@ -96,6 +96,29 @@ def test_fused_engine_finds_planted_face(face_crop, rng):
     assert d.confidence > 0.95
 
 
+def test_fused_engine_native_scale_coverage(face_crop, rng):
+    """A bank built from LARGE native crops must still find faces at
+    their native size: the reference scales native template sizes
+    (scan-template-v4.py:161-169), so the fused engine folds the bank's
+    native/canonical ratio into its effective scales.  Before this, a
+    219 px-crop bank searched only 102-153 px boxes (canonical 128 x
+    0.8/1.0/1.2) and never re-found its own faces (r4 e2e bench:
+    170 detections, 0 recognized)."""
+    native = np.asarray(cv2.resize(face_crop, (192, 192)))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (31, 31), 10)
+    _plant(frame, native, 260, 180)
+    bank = TemplateBank([("p", native)], canonical_size=(128, 128))
+    assert abs(bank.native_scale - 1.5) < 1e-6
+    out = TemplateDetector(bank, DetectConfig()).detect_fused(frame)
+    assert len(out) == 1
+    d = out[0]
+    # Box size must cover the native 192 px face (eff scale 1.0 -> 192).
+    assert abs(d.width - 192) <= 2 and abs(d.height - 192) <= 2
+    assert abs(d.x - 260) <= 3 and abs(d.y - 180) <= 3
+    assert d.confidence > 0.9
+
+
 def test_fused_engine_corner_rejection(face_crop, rng):
     crop = np.asarray(cv2.resize(face_crop, (128, 128)))
     frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
