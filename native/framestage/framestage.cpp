@@ -78,12 +78,14 @@ int fs_decode_jpegs(const char** paths, int n, int gray, int out_h,
       cv::Mat img = cv::imread(paths[i],
                                gray ? cv::IMREAD_GRAYSCALE : cv::IMREAD_COLOR);
       if (img.empty()) continue;
-      if (out_h > 0 && out_w > 0 && (img.rows != out_h || img.cols != out_w)) {
-        cv::resize(img, img, cv::Size(out_w, out_h), 0, 0, cv::INTER_LINEAR);
-      }
+      // Record ORIGINAL dims before any resize: callers use them for
+      // native-size semantics (e.g. template-bank scale coverage).
       if (dims) {
         dims[2 * i] = img.rows;
         dims[2 * i + 1] = img.cols;
+      }
+      if (out_h > 0 && out_w > 0 && (img.rows != out_h || img.cols != out_w)) {
+        cv::resize(img, img, cv::Size(out_w, out_h), 0, 0, cv::INTER_LINEAR);
       }
       unsigned char* dst =
           slot ? out + slot * static_cast<size_t>(i)

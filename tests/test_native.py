@@ -29,6 +29,44 @@ def test_batch_decode_matches_cv2(reference_root):
         np.testing.assert_array_equal(imgs[i], ref)
 
 
+def test_batch_decode_return_dims(reference_root):
+    """Original (pre-resize) dims come back exactly (feeds template-bank
+    native_scale), and the native-decode TemplateBank path computes the
+    same native_scale the cv2 full-decode path does."""
+    paths = sorted(
+        glob.glob(
+            os.path.join(reference_root, "faces/lock_version/Joseph_Lai/face_*.jpg")
+        )
+    )[:8]
+    imgs, ok, dims = native.decode_jpegs_batch(
+        paths, gray=True, size_wh=(64, 64), return_dims=True
+    )
+    assert ok.all() and dims.shape == (len(paths), 2)
+    for i, p in enumerate(paths):
+        ref = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        assert tuple(dims[i]) == ref.shape
+
+    from face_detection_recognization_pca_tpu.detect.template import (
+        TemplateBank,
+    )
+
+    lock = os.path.join(reference_root, "faces/lock_version")
+    bank_native = TemplateBank.from_person_dirs(lock, per_person=3)
+    # cv2 fallback path: full-size decode, bank resizes itself.
+    cv2_pairs = []
+    for pdir in sorted(glob.glob(os.path.join(lock, "*"))):
+        if not os.path.isdir(pdir):
+            continue
+        name = os.path.basename(pdir)
+        for c in sorted(glob.glob(os.path.join(pdir, "face_*.jpg")))[:3]:
+            img = cv2.imread(c, cv2.IMREAD_GRAYSCALE)
+            if img is not None:
+                cv2_pairs.append((name, img))
+    bank_cv2 = TemplateBank(cv2_pairs, canonical_size=(128, 128))
+    assert abs(bank_native.native_scale - bank_cv2.native_scale) < 1e-9
+    assert bank_native.native_scale > 0.5
+
+
 def test_batch_decode_bgr(reference_root):
     paths = sorted(
         glob.glob(
