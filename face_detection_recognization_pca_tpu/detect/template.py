@@ -49,6 +49,21 @@ from face_detection_recognization_pca_tpu.ops.resize import (
 
 
 @dataclasses.dataclass
+class ScaleMeta:
+    """One fused-engine search scale: effective scale, original-frame
+    box size, device validity mask, resized-frame dims, and the set of
+    templates whose native-size group this scale belongs to."""
+
+    scale: float
+    box_w: int
+    box_h: int
+    mask: object  # device (out_h, out_w) bool validity mask
+    rw: int
+    rh: int
+    tmpl: np.ndarray  # (T,) bool: templates competing at this scale
+
+
+@dataclasses.dataclass
 class Detection:
     x: int
     y: int
@@ -70,11 +85,16 @@ class TemplateBank:
         already canonical-sized (e.g. resized during native decode);
         defaults to each template's own shape.
 
-    The reference applies its 0.8/1.0/1.2 scales to each template's
+    The reference applies its 0.8/1.0/1.2 scales to EACH template's own
     NATIVE size (``scan-template-v4.py:161-169``); canonicalizing to
     128 for the fused engine must not shrink that size coverage, so the
-    bank records ``native_scale`` -- the median native/canonical size
-    ratio -- which the fused engine folds into its effective scales.
+    bank records ``native_ratios`` -- each template's native/canonical
+    size ratio -- which the fused engine folds into per-template-group
+    effective scales (templates are grouped by ratio quantized to 10%
+    log steps, bounding the box-size deviation from the reference's
+    exact per-template sizes at ~5%; the parity engine stays exact).
+    ``native_scale`` (the median ratio) remains as the bank-level
+    summary.
     """
 
     def __init__(
@@ -102,36 +122,73 @@ class TemplateBank:
             self.template_person = jnp.asarray(np.array(ids, dtype=np.int32))
             if native_sizes is None:
                 native_sizes = [t.shape[:2] for _, t in self.entries]
-            self.native_scale = float(
-                np.median(
-                    [
-                        math.sqrt((h * w) / float(th * tw))
-                        for (h, w) in native_sizes
-                    ]
-                )
+            self.native_ratios = np.array(
+                [
+                    math.sqrt((h * w) / float(th * tw))
+                    for (h, w) in native_sizes
+                ]
             )
+            self.native_scale = float(np.median(self.native_ratios))
         else:
             self.canonical = None
             self.template_person = None
+            self.native_ratios = None
 
     @staticmethod
     def from_person_dirs(
-        lock_dir: str, per_person: int = 5, canonical_size=(128, 128)
+        lock_dir: str,
+        per_person: int = 5,
+        canonical_size=(128, 128),
+        persons=None,
     ) -> "TemplateBank":
-        """Reference loading rule (scan-template-v4.py:17-74): first N
-        ``face_*.jpg`` crops of each person dir become its templates."""
+        """Reference loading rule (scan-template-v4.py:46-58): each
+        person's templates are the first ``per_person`` entries of its
+        ``<person>_faces_detection.json`` ``faces[].image_path`` list
+        (the shipped JSONs carry Windows ``\\`` separators -- paths are
+        normalized, then resolved against the repo root the JSON was
+        written from, falling back to the basename inside the person
+        dir).  Directories without a detection JSON fall back to the
+        first sorted ``face_*.jpg`` crops.
+
+        ``persons``: restrict to these names -- the reference only holds
+        templates for persons whose ``face_model.pkl`` loaded
+        (scan-template-v4.py:17-74), so the scan apps pass the model
+        stack's person list here."""
         import glob
+        import json
         import os
 
+        root = os.path.dirname(os.path.dirname(os.path.abspath(lock_dir)))
         pairs = []
         jobs = []
         for pdir in sorted(glob.glob(os.path.join(lock_dir, "*"))):
             if not os.path.isdir(pdir):
                 continue
             name = os.path.basename(pdir)
-            for c in sorted(glob.glob(os.path.join(pdir, "face_*.jpg")))[
-                :per_person
-            ]:
+            if persons is not None and name not in persons:
+                continue
+            jpath = os.path.join(pdir, f"{name}_faces_detection.json")
+            paths = []
+            if os.path.exists(jpath):
+                try:
+                    with open(jpath, "r", encoding="utf-8") as f:
+                        faces = json.load(f).get("faces") or []
+                except (OSError, ValueError):
+                    faces = []
+                for face in faces[:per_person]:
+                    rel = str(face.get("image_path", "")).replace("\\", "/")
+                    for cand in (
+                        os.path.join(root, rel),
+                        os.path.join(pdir, os.path.basename(rel)),
+                    ):
+                        if rel and os.path.exists(cand):
+                            paths.append(cand)
+                            break
+            if not paths:
+                paths = sorted(
+                    glob.glob(os.path.join(pdir, "face_*.jpg"))
+                )[:per_person]
+            for c in paths:
                 jobs.append((name, c))
 
         # Canonical-size banks can decode+resize in native threads
@@ -397,47 +454,71 @@ class TemplateDetector:
         # cost ~30-80 ms each and dominated the per-batch time); ONE
         # packed (S, 3, B, T) download carries every result back.
         #
-        # Effective scales: the reference applies cfg scales to NATIVE
-        # template sizes (scan-template-v4.py:161-169); the canonical
-        # template stands in for a native one ``native_scale`` larger,
-        # so each cfg scale is multiplied by that ratio -- otherwise a
-        # bank built from e.g. 219 px crops would only ever search
-        # 102-153 px boxes and never re-find its own faces.
-        scale_meta = []  # (eff_scale, box_w, box_h, mask, rw, rh)
-        for cfg_scale in cfg.template_scales:
-            scale = cfg_scale * self.bank.native_scale
-            box_w = int(tw * scale)
-            box_h = int(th * scale)
-            if (
-                box_w < cfg.min_template_side
-                or box_h < cfg.min_template_side
-                or box_w > fw
-                or box_h > fh
-            ):
-                continue
-            rw = max(int(round(fw / scale)), tw + 1)
-            rh = max(int(round(fh / scale)), th + 1)
-            mask = _validity_mask_device(
-                rh - th + 1,
-                rw - tw + 1,
-                box_w,
-                box_h,
-                fw,
-                fh,
-                cfg.corner_threshold,
-                cfg.border_threshold,
-                scale,
-            )
-            scale_meta.append((scale, box_w, box_h, mask, rw, rh))
+        # Effective scales: the reference applies cfg scales to EACH
+        # template's own NATIVE size (scan-template-v4.py:161-169).
+        # Templates are grouped by their native/canonical ratio
+        # quantized to 10% log steps (a single global median missized
+        # every person's search in mixed-size banks -- the shipped
+        # ruisheng templates alone span 130-314 px); each group
+        # contributes one effective scale per cfg scale, and a template
+        # only competes at its own group's scales, mirroring the
+        # reference's per-template loop to within ~5% box size (the
+        # parity engine stays exact).
+        ratios = self.bank.native_ratios
+        step = math.log(1.10)
+        groups: dict = {}  # quantized key -> template index list
+        for t_i, r in enumerate(np.maximum(ratios, 1e-6)):
+            groups.setdefault(int(round(math.log(r) / step)), []).append(t_i)
+        n_templates = len(ratios)
+        scale_meta = []  # ScaleMeta entries
+        by_box: dict = {}  # (box_w, box_h) -> scale_meta index
+        for key in sorted(groups):
+            idxs = groups[key]
+            ratio_g = float(np.median(ratios[idxs]))
+            for cfg_scale in cfg.template_scales:
+                scale = cfg_scale * ratio_g
+                box_w = int(tw * scale)
+                box_h = int(th * scale)
+                if (
+                    box_w < cfg.min_template_side
+                    or box_h < cfg.min_template_side
+                    or box_w > fw
+                    or box_h > fh
+                ):
+                    continue
+                if (box_w, box_h) in by_box:
+                    # Same searched box size -> share the program slot;
+                    # both groups' templates compete there.
+                    scale_meta[by_box[(box_w, box_h)]].tmpl[idxs] = True
+                    continue
+                rw = max(int(round(fw / scale)), tw + 1)
+                rh = max(int(round(fh / scale)), th + 1)
+                mask = _validity_mask_device(
+                    rh - th + 1,
+                    rw - tw + 1,
+                    box_w,
+                    box_h,
+                    fw,
+                    fh,
+                    cfg.corner_threshold,
+                    cfg.border_threshold,
+                    scale,
+                )
+                tmpl = np.zeros(n_templates, dtype=bool)
+                tmpl[idxs] = True
+                by_box[(box_w, box_h)] = len(scale_meta)
+                scale_meta.append(
+                    ScaleMeta(scale, box_w, box_h, mask, rw, rh, tmpl)
+                )
         if not scale_meta:
             return [], None
 
-        sizes = tuple((rw, rh) for (_, _, _, _, rw, rh) in scale_meta)
+        sizes = tuple((m.rw, m.rh) for m in scale_meta)
         packed = _fused_all_scales(
             frames_j,
             t0,
             energy,
-            tuple(m[3] for m in scale_meta),
+            tuple(m.mask for m in scale_meta),
             sizes,
             th,
             tw,
@@ -477,24 +558,26 @@ class TemplateDetector:
         best_scale = np.ones((nb, n_persons))
         pid = np.asarray(self.bank.template_person)
 
-        for si, (scale, box_w, box_h, _, _, _) in enumerate(scale_meta):
+        for si, sm in enumerate(scale_meta):
             best = packed[si, 0]  # (B, T)
             xs = packed[si, 1]
             ys = packed[si, 2]
             for b in range(nb):
                 for t in range(best.shape[1]):
+                    if not sm.tmpl[t]:
+                        continue  # not this template's native-size group
                     p = pid[t]
                     if not np.isfinite(best[b, t]):
                         continue
                     if best[b, t] > best_per_person[b, p]:
                         best_per_person[b, p] = best[b, t]
                         best_box[b, p] = [
-                            int(xs[b, t] * scale),
-                            int(ys[b, t] * scale),
-                            box_w,
-                            box_h,
+                            int(xs[b, t] * sm.scale),
+                            int(ys[b, t] * sm.scale),
+                            sm.box_w,
+                            sm.box_h,
                         ]
-                        best_scale[b, p] = scale
+                        best_scale[b, p] = sm.scale
 
         out: List[List[Detection]] = []
         for b in range(nb):

@@ -460,8 +460,12 @@ def scan_multimodel_batched(
     lock = lock_dir or cfg.paths.lock_dir
     stack = ModelStack.from_lock_dir(lock)
     recognizer = MultiModelRecognizer(stack, cfg.recognize)
+    # The reference only template-matches persons whose model loaded
+    # (templates live in the per-model dict, scan-template-v4.py:46-74).
     bank = TemplateBank.from_person_dirs(
-        lock, per_person=cfg.detect.templates_per_person
+        lock,
+        per_person=cfg.detect.templates_per_person,
+        persons=set(stack.model_names),
     )
     detector = TemplateDetector(bank, cfg.detect)
     nb = batch_frames or cfg.video.batch_frames
@@ -587,8 +591,12 @@ def scan_multimodel(
     lock = lock_dir or cfg.paths.lock_dir
     stack = ModelStack.from_lock_dir(lock)
     recognizer = MultiModelRecognizer(stack, cfg.recognize)
+    # The reference only template-matches persons whose model loaded
+    # (templates live in the per-model dict, scan-template-v4.py:46-74).
     bank = TemplateBank.from_person_dirs(
-        lock, per_person=cfg.detect.templates_per_person
+        lock,
+        per_person=cfg.detect.templates_per_person,
+        persons=set(stack.model_names),
     )
     detector = TemplateDetector(bank, cfg.detect)
     detect = detector.detect_fused if fused_detector else detector.detect_parity

@@ -119,6 +119,58 @@ def test_fused_engine_native_scale_coverage(face_crop, rng):
     assert d.confidence > 0.9
 
 
+def test_fused_engine_per_template_scales(face_crop, rng):
+    """Mixed-size banks search EACH template's own native size
+    (scan-template-v4.py:161-169 scales every template independently):
+    an 80 px and a 240 px template in one bank must both re-find their
+    faces at native size, not at a shared median size."""
+    small = np.asarray(cv2.resize(face_crop, (80, 80)))
+    large = np.asarray(255 - cv2.resize(face_crop, (240, 240)))
+    frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)
+    frame = cv2.GaussianBlur(frame, (31, 31), 10)
+    _plant(frame, small, 90, 300)
+    _plant(frame, large, 300, 120)
+    bank = TemplateBank(
+        [("small_p", small), ("large_p", large)], canonical_size=(128, 128)
+    )
+    np.testing.assert_allclose(bank.native_ratios, [0.625, 1.875])
+    out = TemplateDetector(bank, DetectConfig()).detect_fused(frame)
+    by_name = {d.person_name: d for d in out}
+    assert set(by_name) == {"small_p", "large_p"}
+    s, l = by_name["small_p"], by_name["large_p"]
+    assert abs(s.width - 80) <= 2 and abs(s.x - 90) <= 2 and abs(s.y - 300) <= 2
+    assert abs(l.width - 240) <= 2 and abs(l.x - 300) <= 2 and abs(l.y - 120) <= 2
+    assert s.confidence > 0.9 and l.confidence > 0.9
+
+
+def test_bank_json_sourcing(reference_root):
+    """Template sourcing follows the reference rule: the first N
+    ``faces[].image_path`` entries of the person's detection JSON
+    (scan-template-v4.py:46-58), with the shipped Windows separators
+    normalized.  For Joseph_Lai those are the v1 100x100 crops (NOT the
+    face_*.jpg files a directory glob would pick), and ruiyi's
+    ``detected_face_*`` files are included at all."""
+    lock = os.path.join(reference_root, "faces/lock_version")
+    bank = TemplateBank.from_person_dirs(lock, per_person=5)
+    assert bank.person_names == ["Joseph_Lai", "ruisheng", "ruiyi", "shun"]
+    joseph = [t for n, t in bank.entries if n == "Joseph_Lai"]
+    assert len(joseph) == 5
+    # entries hold canonical-resized pixels; the recorded native ratios
+    # must reflect the 100x100 on-disk v1 crops (100/128).
+    jr = bank.native_ratios[
+        [i for i, (n, _) in enumerate(bank.entries) if n == "Joseph_Lai"]
+    ]
+    np.testing.assert_allclose(jr, 100.0 / 128.0)
+    assert sum(1 for n, _ in bank.entries if n == "ruiyi") == 5
+    # persons= restricts the bank (reference: only persons whose model
+    # loaded contribute templates).
+    gated = TemplateBank.from_person_dirs(
+        lock, per_person=5, persons={"Joseph_Lai"}
+    )
+    assert gated.person_names == ["Joseph_Lai"]
+    assert len(gated.entries) == 5
+
+
 def test_fused_engine_corner_rejection(face_crop, rng):
     crop = np.asarray(cv2.resize(face_crop, (128, 128)))
     frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)

@@ -52,18 +52,37 @@ def test_batch_decode_return_dims(reference_root):
 
     lock = os.path.join(reference_root, "faces/lock_version")
     bank_native = TemplateBank.from_person_dirs(lock, per_person=3)
-    # cv2 fallback path: full-size decode, bank resizes itself.
+    # cv2 fallback path: full-size decode of the SAME JSON-sourced
+    # template files (scan-template-v4.py:46-58 sourcing rule), bank
+    # resizes itself.
+    import json
+
     cv2_pairs = []
     for pdir in sorted(glob.glob(os.path.join(lock, "*"))):
         if not os.path.isdir(pdir):
             continue
         name = os.path.basename(pdir)
-        for c in sorted(glob.glob(os.path.join(pdir, "face_*.jpg")))[:3]:
+        jpath = os.path.join(pdir, f"{name}_faces_detection.json")
+        paths = []
+        if os.path.exists(jpath):
+            with open(jpath, "r", encoding="utf-8") as f:
+                faces = json.load(f).get("faces") or []
+            for face in faces[:3]:
+                rel = str(face.get("image_path", "")).replace("\\", "/")
+                cand = os.path.join(reference_root, rel)
+                if os.path.exists(cand):
+                    paths.append(cand)
+        if not paths:
+            paths = sorted(glob.glob(os.path.join(pdir, "face_*.jpg")))[:3]
+        for c in paths:
             img = cv2.imread(c, cv2.IMREAD_GRAYSCALE)
             if img is not None:
                 cv2_pairs.append((name, img))
     bank_cv2 = TemplateBank(cv2_pairs, canonical_size=(128, 128))
     assert abs(bank_native.native_scale - bank_cv2.native_scale) < 1e-9
+    np.testing.assert_allclose(
+        bank_native.native_ratios, bank_cv2.native_ratios, atol=1e-9
+    )
     assert bank_native.native_scale > 0.5
 
 
