@@ -1257,6 +1257,16 @@ def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",
             "label_prefix": "e2e_anwar",
             "max_frames": 128,
         }),
+        ("bench_e2e_video", {
+            # Third reference test video (386x194 @ 100 fps): resized
+            # onto the warm 544p program family like anwar.mp4, so the
+            # block costs decode+transfer only, no new compiles.
+            "video": "/root/reference/videos/mayun.mp4",
+            "resize_to": "544p",
+            "variants": ("haar",),
+            "label_prefix": "e2e_mayun",
+            "max_frames": 128,
+        }),
     ]
     b = remaining() - reserve
     if b > 90:
