@@ -122,3 +122,22 @@ def test_root_bench_sigterm_prints_line_and_exits_zero():
     assert lines, out
     parsed = json.loads(lines[-1])
     assert parsed["unit"] == "frames/s/chip"
+
+
+def test_run_bench_extras_cover_all_reference_videos():
+    """The extras spec must keep every reference test video in the
+    driver detail (test.mp4 haar+ncc, anwar.mp4, mayun.mp4): each block
+    is a judged coverage surface and a silent drop would go unnoticed
+    until the next driver artifact."""
+    import inspect
+
+    src = inspect.getsource(B.run_bench)
+    for needle in (
+        '"bench_haar"',
+        '"bench_e2e_video"',
+        "anwar.mp4",
+        "mayun.mp4",
+        '"e2e_anwar"',
+        '"e2e_mayun"',
+    ):
+        assert needle in src, needle
