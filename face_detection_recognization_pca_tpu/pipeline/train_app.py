@@ -155,9 +155,15 @@ def train_all_persons(
     config: Optional[PipelineConfig] = None,
     per_person_components: Optional[int] = None,
     combined: bool = True,
+    save: bool = True,
 ) -> Dict[str, EigenfacesArtifact]:
     """train-v5 parity: per-person models (k=face count) + a combined
-    multi-person model over all dirs."""
+    multi-person model over all dirs.
+
+    ``save=False`` skips every artifact write (model pickles, info
+    JSONs, eigenface JPEGs) -- used to retrain against a read-only
+    gallery tree (the golden multi-person parity test runs this on
+    ``/root/reference/faces/lock_version`` directly)."""
     cfg = config or PipelineConfig()
     lock = lock_dir or cfg.paths.lock_dir
     persons = sorted(
@@ -197,10 +203,11 @@ def train_all_persons(
             face_info=info,
             training_date=datetime.now().isoformat(),
         )
-        save_model_v2(art, os.path.join(lock, person, "face_model.pkl"))
-        write_model_info_json(
-            art, os.path.join(lock, person, f"{person}_model_info.json")
-        )
+        if save:
+            save_model_v2(art, os.path.join(lock, person, "face_model.pkl"))
+            write_model_info_json(
+                art, os.path.join(lock, person, f"{person}_model_info.json")
+            )
         out[person] = art
 
     if combined and all_vecs:
@@ -216,21 +223,22 @@ def train_all_persons(
             face_info=all_info,
             training_date=datetime.now().isoformat(),
         )
-        models_dir = cfg.paths.models_dir
-        os.makedirs(models_dir, exist_ok=True)
-        save_model_v2(
-            art, os.path.join(models_dir, "multi_person_face_model.pkl")
-        )
-        write_model_info_json(
-            art, os.path.join(models_dir, "multi_person_model_info.json")
-        )
-        save_eigenface_images(
-            art.components,
-            art.mean_face,
-            art.face_shape,
-            models_dir,
-            prefix="multi_person_",
-            top_k=cfg.train.eigenfaces_to_save,
-        )
+        if save:
+            models_dir = cfg.paths.models_dir
+            os.makedirs(models_dir, exist_ok=True)
+            save_model_v2(
+                art, os.path.join(models_dir, "multi_person_face_model.pkl")
+            )
+            write_model_info_json(
+                art, os.path.join(models_dir, "multi_person_model_info.json")
+            )
+            save_eigenface_images(
+                art.components,
+                art.mean_face,
+                art.face_shape,
+                models_dir,
+                prefix="multi_person_",
+                top_k=cfg.train.eigenfaces_to_save,
+            )
         out["multi_person"] = art
     return out
