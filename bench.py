@@ -42,7 +42,10 @@ def main() -> int:
     # streams=24 measured best on v5e: 139.4k fps vs 128.1k at 16 and
     # 132.5k at 32 (scripts_dev/probe_headline_scale.py, round 2).
     streams = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    deadline_s = float(os.environ.get("FDRP_BENCH_DEADLINE_S", "2700"))
+    # Default 2250 s: rounds 3 and 4 both drew rc=124 from the external
+    # driver `timeout` with 2700 s, so the real budget is <= 2700; this
+    # leaves ~450 s of margin for the exit path (VERDICT r4 next #1).
+    deadline_s = float(os.environ.get("FDRP_BENCH_DEADLINE_S", "2250"))
 
     best = {
         "metric": "recognized 1080p frames/sec/chip "

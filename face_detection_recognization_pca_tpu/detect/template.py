@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from face_detection_recognization_pca_tpu.config import DetectConfig
+from face_detection_recognization_pca_tpu.utils.logging import get_logger
 from face_detection_recognization_pca_tpu.ops.match import (
     match_template_ccoeff_normed,
     min_max_loc,
@@ -46,6 +47,8 @@ from face_detection_recognization_pca_tpu.ops.resize import (
     resize_bilinear,
     resize_bilinear_u8_exact,
 )
+
+log = get_logger("fdrp.template")
 
 
 @dataclasses.dataclass
@@ -91,8 +94,9 @@ class TemplateBank:
     bank records ``native_ratios`` -- each template's native/canonical
     size ratio -- which the fused engine folds into per-template-group
     effective scales (templates are grouped by ratio quantized to 10%
-    log steps, bounding the box-size deviation from the reference's
-    exact per-template sizes at ~5%; the parity engine stays exact).
+    log steps: a template at a bin edge can sit ~10% from the group
+    median in the worst case, ~5% typically; the parity engine stays
+    exact).
     ``native_scale`` (the median ratio) remains as the bank-level
     summary.
     """
@@ -147,8 +151,10 @@ class TemplateBank:
         (the shipped JSONs carry Windows ``\\`` separators -- paths are
         normalized, then resolved against the repo root the JSON was
         written from, falling back to the basename inside the person
-        dir).  Directories without a detection JSON fall back to the
-        first sorted ``face_*.jpg`` crops.
+        dir).  Only directories WITHOUT a detection JSON fall back to
+        the first sorted ``face_*.jpg`` crops; a JSON that exists but
+        yields no resolvable paths leaves the person templateless, like
+        the reference (scan-template-v4.py:46-58 never globs).
 
         ``persons``: restrict to these names -- the reference only holds
         templates for persons whose ``face_model.pkl`` loaded
@@ -184,7 +190,16 @@ class TemplateBank:
                         if rel and os.path.exists(cand):
                             paths.append(cand)
                             break
-            if not paths:
+                if not paths:
+                    # A present-but-unresolvable JSON gives the person
+                    # ZERO templates, matching the reference -- a glob
+                    # fallback here would template-match persons the
+                    # reference never would.
+                    log.warning(
+                        "detection JSON for %s yielded no readable "
+                        "templates; person left templateless", name
+                    )
+            else:
                 paths = sorted(
                     glob.glob(os.path.join(pdir, "face_*.jpg"))
                 )[:per_person]

@@ -18,6 +18,7 @@ operands are replicated -- pure DP with zero collectives per step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -45,7 +46,13 @@ def _make_step(win: int, tpl: int, template0: np.ndarray):
 
     corr_fn = make_circular_correlator(np.asarray(template0), win, out_n)
 
-    @jax.jit
+    # The (S, 2) origin state feeds back every batch; donating it lets
+    # XLA alias new_origin onto the old buffer (no per-step state copy
+    # -- SURVEY §5's jit-donation/aliasing substitute for sanitizers).
+    # process_batch therefore CONSUMES its state argument; callers must
+    # thread the returned state, never reuse the old one (both in-tree
+    # callers already do).
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def step(frames, origin, t_energy, m, bias, gallery_t, gnorm):
         s = frames.shape[0]
 

@@ -125,19 +125,29 @@ def test_root_bench_sigterm_prints_line_and_exits_zero():
 
 
 def test_run_bench_extras_cover_all_reference_videos():
-    """The extras spec must keep every reference test video in the
-    driver detail (test.mp4 haar+ncc, anwar.mp4, mayun.mp4): each block
-    is a judged coverage surface and a silent drop would go unnoticed
-    until the next driver artifact."""
+    """The extras spec (the module-level EXTRAS_SPECS constant run_bench
+    consumes) must keep every reference test video in the driver detail
+    (test.mp4 haar+ncc, anwar.mp4, mayun.mp4) plus the shipped-output
+    oracle phase: each is a judged coverage surface and a silent drop
+    would go unnoticed until the next driver artifact."""
     import inspect
 
-    src = inspect.getsource(B.run_bench)
-    for needle in (
-        '"bench_haar"',
-        '"bench_e2e_video"',
-        "anwar.mp4",
-        "mayun.mp4",
-        '"e2e_anwar"',
-        '"e2e_mayun"',
-    ):
-        assert needle in src, needle
+    names = [name for name, _ in B.EXTRAS_SPECS]
+    assert "bench_haar" in names
+    assert "bench_oracle_e2e" in names
+    e2e_videos = {
+        kw.get("video", "/root/reference/videos/test.mp4")
+        for name, kw in B.EXTRAS_SPECS
+        if name == "bench_e2e_video"
+    }
+    assert e2e_videos == {
+        "/root/reference/videos/test.mp4",
+        "/root/reference/videos/anwar.mp4",
+        "/root/reference/videos/mayun.mp4",
+    }
+    # Every spec names a real bench function with compatible kwargs.
+    for name, kw in B.EXTRAS_SPECS:
+        fn = getattr(B, name)
+        inspect.signature(fn).bind_partial(**kw)
+    # run_bench actually consumes the constant (not a stale copy).
+    assert "EXTRAS_SPECS" in inspect.getsource(B.run_bench)

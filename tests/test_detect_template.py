@@ -171,6 +171,30 @@ def test_bank_json_sourcing(reference_root):
     assert len(gated.entries) == 5
 
 
+def test_bank_json_unresolvable_leaves_person_templateless(tmp_path):
+    """A detection JSON that exists but whose image_path entries don't
+    resolve gives the person ZERO templates (reference
+    scan-template-v4.py:46-58 never globs when a JSON is present); the
+    glob fallback applies only when the JSON file is absent."""
+    import json
+
+    lock = tmp_path / "faces" / "lock_version"
+    crop = np.full((64, 64), 128, np.uint8)
+    # Person A: JSON present, paths unresolvable, crops on disk.
+    a = lock / "alice"
+    a.mkdir(parents=True)
+    cv2.imwrite(str(a / "face_0001.jpg"), crop)
+    (a / "alice_faces_detection.json").write_text(
+        json.dumps({"faces": [{"image_path": "C:\\gone\\x.jpg"}]})
+    )
+    # Person B: no JSON, crops on disk -> glob fallback applies.
+    b = lock / "bob"
+    b.mkdir(parents=True)
+    cv2.imwrite(str(b / "face_0001.jpg"), crop)
+    bank = TemplateBank.from_person_dirs(str(lock), per_person=5)
+    assert [n for n, _ in bank.entries] == ["bob"]
+
+
 def test_fused_engine_corner_rejection(face_crop, rng):
     crop = np.asarray(cv2.resize(face_crop, (128, 128)))
     frame = rng.integers(0, 256, (480, 640), dtype=np.uint8)

@@ -91,3 +91,22 @@ def test_dp_mesh_matches_single_device(setup, rng):
         np.asarray(out_p["confidence"]),
         atol=1e-5,
     )
+
+
+def test_state_donation_no_copy(setup, rng):
+    """The steady-state loop's state update is donation-aliased
+    (SURVEY §5's jit-donation substitute for sanitizers): new_origin
+    reuses the old origin buffer (pointer-equal on this backend) and
+    the consumed state is deleted -- no per-step state copy."""
+    face, model = setup
+    msr = MultiStreamRecognizer(model, face, window=128)
+    frames, _ = _frames(face, rng)
+    state = msr.init_state(8, (240, 320))
+    frames_dev = jnp.asarray(frames)
+    _, state = msr.process_batch(frames_dev, state)  # compile step
+    old = state.origin
+    p_old = old.unsafe_buffer_pointer()
+    _, state = msr.process_batch(frames_dev, state)
+    assert state.origin.unsafe_buffer_pointer() == p_old
+    with pytest.raises(RuntimeError):
+        np.asarray(old)  # donated away: reuse must fail loudly
