@@ -155,3 +155,58 @@ def test_multihost_two_process_train_step():
         rtol=1e-5,
         atol=1e-7,
     )
+
+
+_DRYRUN_WORKER = textwrap.dedent(
+    """
+    import os
+
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, n_hosts=2)
+    """
+)
+
+
+def test_dryrun_multichip_two_hosts():
+    """The DRIVER-VISIBLE entry (``__graft_entry__.dryrun_multichip``
+    with ``n_hosts=2``), not just the library, across two coordinator
+    processes (VERDICT r4 next #9): each process joins the cluster,
+    builds the global (data=2 x model=4) mesh whose data axis spans the
+    processes, and the sharded train step's self-checks pass."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            {
+                "FDRP_COORDINATOR": f"127.0.0.1:{port}",
+                "FDRP_NUM_PROCESSES": "2",
+                "FDRP_PROCESS_ID": str(pid),
+            }
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _DRYRUN_WORKER],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert f"multi-host: process {pid}/2, 8 global devices" in out, out
+        assert "dryrun_multichip OK: mesh data=2 x model=4" in out, out
