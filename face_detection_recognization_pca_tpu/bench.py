@@ -61,14 +61,21 @@ TPL = 96  # template / face box side
 
 
 def _synth_assets(streams: int, size: Tuple[int, int], gallery_n: int = 256,
-                  k: int = 64, seed: int = 0):
+                  k: int = 64, seed: int = 0, win: int = None,
+                  tpl: int = None):
     """Synthetic frames with a real planted pattern + a trained model.
 
     Gallery row 0 is the EXACT planted face (rows 1+ are rolled/noised
     copies), so a correct detect+recognize step must report gallery id 0
     at cosine ~1.0 for every stream -- the self-check bench_headline
     enforces before publishing its fps (VERDICT r2: the number must not
-    survive subtly-wrong recognition)."""
+    survive subtly-wrong recognition).
+
+    ``win``/``tpl`` override the default guided geometry (the
+    MXU-tile-alignment experiment measures 256/128 against the
+    192/96 default)."""
+    win = WIN if win is None else win
+    tpl = TPL if tpl is None else tpl
     from face_detection_recognization_pca_tpu.linalg.pca import snapshot_pca
     from face_detection_recognization_pca_tpu.models.eigenfaces import (
         EigenfacesModel,
@@ -80,19 +87,19 @@ def _synth_assets(streams: int, size: Tuple[int, int], gallery_n: int = 256,
     h, w = size
     rng = np.random.default_rng(seed)
     # A structured "face" pattern (smooth blobs) planted per stream.
-    yy, xx = np.mgrid[0:TPL, 0:TPL].astype(np.float32) / TPL
+    yy, xx = np.mgrid[0:tpl, 0:tpl].astype(np.float32) / tpl
     face = (
         140
         + 60 * np.sin(6.28 * yy * 2.1)
         + 40 * np.cos(6.28 * xx * 1.7)
-        + rng.normal(0, 8, (TPL, TPL))
+        + rng.normal(0, 8, (tpl, tpl))
     ).astype(np.float32)
     t_frames = 32  # frame batches fused per dispatch
-    win_x = (w - WIN) // 2
-    win_y = (h - WIN) // 2
+    win_x = (w - win) // 2
+    win_y = (h - win) // 2
     # Generate the 1080p frame stack ON DEVICE (a ~1 GB host->device
     # copy through the test tunnel takes minutes; a PRNG seed does not).
-    offs = rng.integers(0, WIN - TPL, (t_frames * streams, 2)).astype(np.int32)
+    offs = rng.integers(0, win - tpl, (t_frames * streams, 2)).astype(np.int32)
 
     @jax.jit
     def _gen_frames(face_dev, offs_dev):
@@ -115,7 +122,7 @@ def _synth_assets(streams: int, size: Tuple[int, int], gallery_n: int = 256,
     gal_imgs = np.stack(
         [
             np.roll(face, (rng.integers(-2, 3), rng.integers(-2, 3)), (0, 1)).reshape(-1)
-            + rng.normal(0, 4, TPL * TPL)
+            + rng.normal(0, 4, tpl * tpl)
             for _ in range(gallery_n)
         ]
     ).astype(np.float32)
@@ -129,15 +136,15 @@ def _synth_assets(streams: int, size: Tuple[int, int], gallery_n: int = 256,
         labels=jnp.zeros(gallery_n, jnp.int32),
         scaler_mean=None,
         scaler_scale=None,
-        face_shape=(TPL, TPL),
+        face_shape=(tpl, tpl),
         schema="v1",
     )
-    lin = linearize_model(model, (TPL, TPL))
+    lin = linearize_model(model, (tpl, tpl))
     return frames, (win_y, win_x), lin, jnp.asarray(face)
 
 
 def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
-              win_y: int, win_x: int):
+              win_y: int, win_x: int, win: int = WIN, tpl: int = TPL):
     """One fused detect+recognize step over a window batch.
 
     ``windows``: (S, WIN, WIN) guided search windows already sliced from
@@ -147,7 +154,7 @@ def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
     convolutions -- TPU cumsum-based integral images lose to the MXU's
     throughput at these sizes."""
     s = windows.shape[0]
-    out_n = WIN - TPL + 1  # 97 valid positions per axis
+    out_n = win - tpl + 1  # 97 valid positions per axis
     # Centered copy for the NCC statistics only (numerator-invariant;
     # keeps the f32 window-variance cancellation benign -- see
     # ops/match.py).  Recognition crops must stay raw pixels.
@@ -162,10 +169,10 @@ def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
     num = corr_fn(windows_c)
 
     # Window sums / energies as banded-ones matmuls (box filter on MXU):
-    # B (WIN, out_n) with B[j, x] = 1 iff x <= j < x + TPL.
-    jj = jax.lax.broadcasted_iota(jnp.int32, (WIN, out_n), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (WIN, out_n), 1)
-    band = ((jj >= xx) & (jj < xx + TPL)).astype(jnp.float32)
+    # B (win, out_n) with B[j, x] = 1 iff x <= j < x + TPL.
+    jj = jax.lax.broadcasted_iota(jnp.int32, (win, out_n), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (win, out_n), 1)
+    band = ((jj >= xx) & (jj < xx + tpl)).astype(jnp.float32)
     s1 = jnp.einsum(
         "swv,wy,vx->syx", windows_c, band, band, preferred_element_type=jnp.float32
     )
@@ -177,7 +184,7 @@ def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
         preferred_element_type=jnp.float32,
     )
 
-    n = TPL * TPL
+    n = tpl * tpl
     var_n = jnp.maximum(s2 - s1 * s1 / n, 0.0)
     denom = jnp.sqrt(t_energy * var_n)
     safe = var_n > n * 1.0
@@ -193,8 +200,8 @@ def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
     # Crop the matched box per stream WITHOUT gathers: dynamic 2-D
     # gathers scalarize on TPU, but crop extraction is just two one-hot
     # selection matmuls (py @ window @ px^T), which the MXU eats.
-    i_t = jax.lax.broadcasted_iota(jnp.int32, (TPL, WIN), 0)
-    j_t = jax.lax.broadcasted_iota(jnp.int32, (TPL, WIN), 1)
+    i_t = jax.lax.broadcasted_iota(jnp.int32, (tpl, win), 0)
+    j_t = jax.lax.broadcasted_iota(jnp.int32, (tpl, win), 1)
     py = (j_t[None] == (ly[:, None, None] + i_t[None])).astype(jnp.float32)
     px = (j_t[None] == (lx[:, None, None] + i_t[None])).astype(jnp.float32)
     crops = jnp.einsum(
@@ -213,7 +220,7 @@ def _step_one(windows, corr_fn, t_energy, m, bias, gallery_t, gnorm,
     return ids, conf, tm_conf, lx + win_x, ly + win_y
 
 
-def _make_bench_scan(corr_fn):
+def _make_bench_scan(corr_fn, win: int = WIN, tpl: int = TPL):
     @functools.partial(jax.jit, static_argnames=("win_y", "win_x"))
     def _bench_scan(frames_t, t_energy, m, bias, gallery_t, gnorm,
                     win_y: int, win_x: int):
@@ -221,17 +228,18 @@ def _make_bench_scan(corr_fn):
         axis flattened into the batch (maximum MXU occupancy)."""
         t, s = frames_t.shape[0], frames_t.shape[1]
         windows_t = jax.lax.dynamic_slice(
-            frames_t, (0, 0, win_y, win_x), (t, s, WIN, WIN)
-        ).reshape(t * s, WIN, WIN)
+            frames_t, (0, 0, win_y, win_x), (t, s, win, win)
+        ).reshape(t * s, win, win)
         return _step_one(
             windows_t, corr_fn, t_energy, m, bias, gallery_t, gnorm,
-            win_y=win_y, win_x=win_x,
+            win_y=win_y, win_x=win_x, win=win, tpl=tpl,
         )
 
     return _bench_scan
 
 
-def headline_flops_per_frame(k: int = 64, gallery_n: int = 256) -> float:
+def headline_flops_per_frame(k: int = 64, gallery_n: int = 256,
+                             win: int = None, tpl: int = None) -> float:
     """Closed-form FLOPs of ONE frame of the headline step (_step_one).
 
     Every term is a dense matmul the MXU executes (docs/DESIGN.md "FLOP
@@ -246,7 +254,9 @@ def headline_flops_per_frame(k: int = 64, gallery_n: int = 256) -> float:
     - One-hot crop extraction: (t,n)@(n,n) then @(n,t): 2tn^2 + 2nt^2.
     - Linearized projection: 2·(t·t)·k; gallery dots: 2·k·N + 3N norms.
     """
-    n, o, t = WIN, WIN - TPL + 1, TPL
+    win = WIN if win is None else win
+    tpl = TPL if tpl is None else tpl
+    n, o, t = win, win - tpl + 1, tpl
     corr = 12 * n**3 + 6 * n**2 + 8 * o * n**2 + 4 * o**2 * n
     banded = 2 * (2 * n**2 * o + 2 * n * o**2) + 2 * n**2
     crops = 2 * t * n**2 + 2 * n * t**2
@@ -349,28 +359,15 @@ def _shared_haar():
     return _SHARED["haar"]
 
 
-def bench_haar(
-    batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5
-) -> dict:
-    """Full-frame Haar detectMultiScale throughput: the fused
-    single-program pyramid (6 chunk dispatches + 1 packed download per
-    frame-batch) on device-resident frames, host grouping included.
-
-    batch=16 at the caller; the detector splits it into pipelined
-    B=8 device sub-batches (the measured-safe ceiling on the current
-    v5e runtime -- B=16 device programs fault on the level-4 chunk
-    with real frames; docs/DESIGN.md section 11).  The per-batch cost
-    is dominated by per-dispatch tunnel overhead, so wide caller
-    batches still amortize it.
-
-    Frames are REAL video pixels when the reference videos are present
-    (pure noise has pathological phase-A survivor counts that trigger
-    capacity retries real footage never does); synthetic fallback
-    otherwise."""
+def _haar_frames(batch: int, size: str, seed: int):
+    """Device-resident gray frames for the Haar benches: REAL video
+    pixels when the reference videos are present (pure noise has
+    pathological phase-A survivor counts that trigger capacity retries
+    real footage never does); synthetic fallback otherwise."""
     h, w = SIZES[size]
-    det = _shared_haar()
     ref_video = "/root/reference/videos/test.mp4"
     source = "synthetic"
+    frames = None
     if os.path.exists(ref_video):
         try:
             import cv2
@@ -391,13 +388,21 @@ def bench_haar(
             source = "test.mp4"
         except Exception:
             frames = None
-    if source == "synthetic":
+    if frames is None:
         frames = 110.0 + 25.0 * jax.random.normal(
             jax.random.PRNGKey(seed), (batch, h, w), jnp.float32
         )
     jax.block_until_ready(frames)
+    return frames, source
+
+
+def _time_haar(det, frames, iters: int):
+    """(blocking dt/batch, pipelined dt/batch, last outputs): the same
+    two timings bench_haar has always reported (see its docstring)."""
+    batch = frames.shape[0]
     det.detect_multi_scale_batch(frames)  # compile
     dt = float("inf")
+    out = None
     for _ in range(iters):
         t0 = time.perf_counter()
         out = det.detect_multi_scale_batch(frames)
@@ -405,28 +410,81 @@ def bench_haar(
 
     # Streaming throughput: overlap batch N's packed download + host
     # grouping with batch N+1's device compute via the device/finish
-    # split -- what a video-scan consumer sustains.  Vary the input per
-    # batch (brightness offset; survivor sets unaffected at +-1e-3) so
-    # tunnel-side repeat-call caching cannot fake the number.  Depth 6:
-    # measured 20 fps at depth 2 vs 54 fps at depth 4 (the pipeline
-    # needs a few batches in flight to hide the download).
+    # split.  Vary the input per batch (brightness offset; survivor sets
+    # unaffected at +-1e-3) so tunnel-side repeat-call caching cannot
+    # fake the number.  Depth 6: measured 20 fps at depth 2 vs 54 at 4.
     depth = max(6, iters)
     t0 = time.perf_counter()
     handles = [det.detect_device(frames + 1e-3)]
-    outs2 = []
     for i in range(1, depth):
         handles.append(det.detect_device(frames + 1e-3 * (i + 1)))
-        outs2.append(det.detect_finish(handles[i - 1]))
-    outs2.append(det.detect_finish(handles[-1]))
+        det.detect_finish(handles[i - 1])
+    det.detect_finish(handles[-1])
     dt_pipe = (time.perf_counter() - t0) / depth
+    return dt / batch, dt_pipe / batch, out
+
+
+def bench_haar(
+    batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5
+) -> dict:
+    """Full-frame Haar detectMultiScale throughput: the fused
+    single-program pyramid (6 chunk dispatches + 1 packed download per
+    frame-batch) on device-resident frames, host grouping included.
+
+    batch=16 at the caller; the detector splits it into pipelined
+    B=8 device sub-batches (the measured-safe ceiling on the current
+    v5e runtime -- B=16 device programs fault on the level-4 chunk
+    with real frames; docs/DESIGN.md section 11).  The per-batch cost
+    is dominated by per-dispatch tunnel overhead, so wide caller
+    batches still amortize it."""
+    det = _shared_haar()
+    frames, source = _haar_frames(batch, size, seed)
+    dt_f, dt_pipe_f, out = _time_haar(det, frames, iters)
     return {
-        "haar_fps": round(batch / dt, 1),
-        "haar_ms_per_frame": round(dt / batch * 1e3, 3),
-        "haar_pipelined_fps": round(batch / dt_pipe, 1),
+        "haar_fps": round(1.0 / dt_f, 1),
+        "haar_ms_per_frame": round(dt_f * 1e3, 3),
+        "haar_pipelined_fps": round(1.0 / dt_pipe_f, 1),
         "haar_size": size,
         "haar_frames": source,
         "haar_detected": sum(1 for d in out if d),
         "haar_dispatches_per_batch": det.last_dispatches,
+    }
+
+
+def bench_haar_ab(
+    batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5,
+    variant_chunk: int = 4,
+) -> dict:
+    """Same-day A/B of the pyramid chunking (VERDICT r4 next #3): the
+    shipped 2-level-chunk config vs the fewer/bigger-programs variant
+    (``pyramid_chunk=4``), measured back-to-back in ONE process so
+    tunnel-day variance cancels.  docs/NEXT.md named this the only
+    remaining lever for the r3->r4 Haar regression (65/72 -> 37-41 fps
+    on byte-identical programs); this phase settles it with data.
+
+    The variant runs LAST and in the last extras slot: bigger chunk
+    programs are the direction that faulted the v5e runtime at B=16
+    (DESIGN.md section 11), so a crash here must not cost earlier
+    results."""
+    from face_detection_recognization_pca_tpu.detect.haar import (
+        HaarDetector,
+    )
+
+    det_a = _shared_haar()
+    frames, source = _haar_frames(batch, size, seed)
+    dt_a, dt_pipe_a, _ = _time_haar(det_a, frames, iters)
+    det_b = HaarDetector(pyramid_chunk=variant_chunk)
+    dt_b, dt_pipe_b, _ = _time_haar(det_b, frames, iters)
+    return {
+        "haar_ab_frames": source,
+        "haar_ab_chunk2_fps": round(1.0 / dt_a, 1),
+        "haar_ab_chunk2_pipelined_fps": round(1.0 / dt_pipe_a, 1),
+        f"haar_ab_chunk{variant_chunk}_fps": round(1.0 / dt_b, 1),
+        f"haar_ab_chunk{variant_chunk}_pipelined_fps": round(
+            1.0 / dt_pipe_b, 1
+        ),
+        f"haar_ab_chunk{variant_chunk}_dispatches":
+            det_b.last_dispatches,
     }
 
 
@@ -1158,7 +1216,8 @@ def _run_phases(specs, budget_s: float, on_partial=None) -> dict:
 
 def bench_headline(streams: int = 16, frames_per_iter: int = 1,
                    size: str = "1080p", iters: int = 20,
-                   warmup: int = 3) -> dict:
+                   warmup: int = 3, win: int = None,
+                   tpl: int = None) -> dict:
     """The metric of record: fused multi-stream guided detect+recognize
     throughput, plus the PCA-train secondary.  Runs in its own process
     under :func:`run_bench` so later phases get the chip alone."""
@@ -1166,13 +1225,17 @@ def bench_headline(streams: int = 16, frames_per_iter: int = 1,
         make_circular_correlator,
     )
 
+    win = WIN if win is None else win
+    tpl = TPL if tpl is None else tpl
     hw = SIZES[size]
-    frames, (win_y, win_x), lin, face = _synth_assets(streams, hw)
+    frames, (win_y, win_x), lin, face = _synth_assets(
+        streams, hw, win=win, tpl=tpl
+    )
     t_frames = frames.shape[0]
     template0 = np.asarray(face) - float(jnp.mean(face))
     t_energy = jnp.asarray(np.sum(template0 * template0, dtype=np.float64).astype(np.float32))
-    corr_fn = make_circular_correlator(template0, WIN, WIN - TPL + 1)
-    bench_scan = _make_bench_scan(corr_fn)
+    corr_fn = make_circular_correlator(template0, win, win - tpl + 1)
+    bench_scan = _make_bench_scan(corr_fn, win=win, tpl=tpl)
 
     args = (
         frames,
@@ -1229,7 +1292,7 @@ def bench_headline(streams: int = 16, frames_per_iter: int = 1,
     jax.block_until_ready(fit(train_x))
     train_wall_s = time.perf_counter() - t1
 
-    flops_frame = headline_flops_per_frame()
+    flops_frame = headline_flops_per_frame(win=win, tpl=tpl)
     tflops = float(fps) * flops_frame / 1e12
     return {
         "metric": f"recognized {size} frames/sec/chip (fused guided detect+project+match, {streams} streams)",
@@ -1286,7 +1349,32 @@ EXTRAS_SPECS = (
         "label_prefix": "e2e_mayun",
         "max_frames": 128,
     }),
+    # Experiments last: dropped first on a slow day, and bench_haar_ab's
+    # bigger-chunk variant is the direction that faulted the v5e runtime
+    # before (DESIGN.md section 11) -- a crash must not cost results.
+    ("bench_headline_geom256", {}),
+    ("bench_haar_ab", {}),
 )
+
+
+
+def bench_headline_geom256(streams: int = 24, iters: int = 20) -> dict:
+    """MXU-tile-alignment experiment (VERDICT r4 next #7): the guided
+    step at window 256 / template 128 -- every matmul dimension a
+    multiple of the 128-lane MXU tile -- vs the default 192/96 geometry
+    (1.5 tiles/side, DESIGN.md section 12).  Same planted-exact
+    self-check; reports step_ms/fps/MFU under ``g256_`` keys so the
+    metric of record keeps the reference geometry."""
+    out = bench_headline(streams=streams, iters=iters, win=256, tpl=128)
+    d = out.get("detail", {})
+    return {
+        "g256_fps": out.get("value", 0.0),
+        "g256_step_ms": d.get("step_ms"),
+        "g256_mflops_per_frame": d.get("headline_mflops_per_frame"),
+        "g256_tflops": d.get("headline_tflops"),
+        "g256_tflops_pct": d.get("headline_tflops_pct"),
+        "g256_self_check": d.get("self_check"),
+    }
 
 
 def run_bench(streams: int = 16, frames_per_iter: int = 1, size: str = "1080p",

@@ -69,8 +69,15 @@ def extract_frame_annotations(
     """Recover the reference's drawn marks from one annotated frame.
 
     Boxes: red connected components that look like hollow rectangle
-    outlines (low fill ratio, both sides >= ``min_box``).  Recognized:
-    a cyan component with label geometry (filled, wide, 8-40 px tall --
+    outlines (both sides >= ``min_box``).  An UNKNOWN face additionally
+    gets a red filled label background drawn touching its box
+    (``useless/scan.py:286-309``), which merges with the outline into
+    one component and inflates its bbox (observed on mayun: a 62 px box
+    read as 156x88).  Labels are separated STRUCTURALLY: within a
+    component, a run of >= 8 consecutive rows that are >60% red is a
+    label band (labels are ~17-27 px tall solid fills; box edges are
+    2-4 px thick), erased before taking the box bbox.  Recognized: a
+    cyan component with label geometry (filled, wide, 8-40 px tall --
     ``cv2.getTextSize`` at 0.6/2 yields ~17-24 px) sitting directly
     above some box with horizontal overlap.  Requiring adjacency keeps
     footage that naturally contains cyan (mayun's caption band) from
@@ -81,13 +88,40 @@ def extract_frame_annotations(
 
     red, cyan = _red_cyan_masks(frame)
     ann = FrameAnnotation()
-    n, _, stats, _ = cv2.connectedComponentsWithStats(red, 8)
+    n, labmap, stats, _ = cv2.connectedComponentsWithStats(red, 8)
     for i in range(1, n):
         x, y, w, h, area = (int(v) for v in stats[i])
         if w < min_box or h < min_box:
             continue
-        if area / float(w * h) < 0.35:  # hollow outline, not a label fill
-            ann.boxes.append((x, y, w, h))
+        comp = (labmap[y : y + h, x : x + w] == i)
+        # Close before the row statistics: the label's white TEXT pokes
+        # holes in its red fill, dropping its rows under the solidity
+        # threshold (frame-500 mayun: "Unknown (0.68)" left label rows
+        # at ~55% red).  The bbox is still taken from the unclosed mask.
+        closed = cv2.morphologyEx(
+            comp.astype(np.uint8), cv2.MORPH_CLOSE, np.ones((7, 7), np.uint8)
+        ).astype(bool)
+        rowcounts = closed.sum(axis=1)
+        solid = rowcounts > 0.6 * w
+        # Erase label bands: solid-row runs of >= 8 rows.
+        run = 0
+        for j in range(h + 1):
+            if j < h and solid[j]:
+                run += 1
+                continue
+            if run >= 8:
+                comp[j - run : j, :] = False
+            run = 0
+        ys, xs = np.nonzero(comp)
+        if ys.size == 0:
+            continue
+        bx, by = int(xs.min()), int(ys.min())
+        bw = int(xs.max()) - bx + 1
+        bh = int(ys.max()) - by + 1
+        if bw < min_box or bh < min_box:
+            continue
+        if ys.size / float(bw * bh) < 0.35:  # hollow outline, not a fill
+            ann.boxes.append((x + bx, y + by, bw, bh))
     if not ann.boxes:
         return ann
     n, _, stats, _ = cv2.connectedComponentsWithStats(cyan, 8)
@@ -200,7 +234,16 @@ def decide_frame(
         size = max(w, h)
         sx = x + (w - size) // 2
         sy = y + (h - size) // 2
-        ann.boxes.append((sx, sy, size, size))
+        # Record the VISIBLE part of the square: cv2.rectangle clips at
+        # the frame edge, and the extractor can only see drawn pixels --
+        # mayun's near-top faces otherwise score ~0.55 IoU purely from
+        # comparing an unclipped square against its clipped rendering.
+        fh, fw = gray.shape[:2]
+        x0, y0 = max(sx, 0), max(sy, 0)
+        x1, y1 = min(sx + size, fw), min(sy + size, fh)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        ann.boxes.append((x0, y0, x1 - x0, y1 - y0))
         if is_recognized:
             ann.recognized = True
     return ann
