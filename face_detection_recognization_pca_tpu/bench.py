@@ -453,19 +453,20 @@ def bench_haar(
 
 def bench_haar_ab(
     batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5,
-    variant_chunk: int = 4,
+    variant_chunk: int = 2,
 ) -> dict:
     """Same-day A/B of the pyramid chunking (VERDICT r4 next #3): the
-    shipped 2-level-chunk config vs the fewer/bigger-programs variant
-    (``pyramid_chunk=4``), measured back-to-back in ONE process so
-    tunnel-day variance cancels.  docs/NEXT.md named this the only
-    remaining lever for the r3->r4 Haar regression (65/72 -> 37-41 fps
-    on byte-identical programs); this phase settles it with data.
+    current default (4-level chunks, the fewer/bigger-programs form)
+    vs the previous 2-level config, measured back-to-back in ONE
+    process so tunnel-day variance cancels.  docs/NEXT.md named this
+    the only remaining lever for the r3->r4 Haar regression (65/72 ->
+    37-41 fps on byte-identical programs); the r5 live A/B measured
+    4-level at 44.6/49.2 fps vs 36.5/37.2 same-day (+32% pipelined, no
+    fault), which is why 4 became the TPU default (detect/haar.py).
 
-    The variant runs LAST and in the last extras slot: bigger chunk
-    programs are the direction that faulted the v5e runtime at B=16
-    (DESIGN.md section 11), so a crash here must not cost earlier
-    results."""
+    Runs in the last extras slot: bigger chunk programs are the
+    direction that faulted the v5e runtime at B=16 (DESIGN.md section
+    11), so a crash here must not cost earlier results."""
     from face_detection_recognization_pca_tpu.detect.haar import (
         HaarDetector,
     )
@@ -475,16 +476,15 @@ def bench_haar_ab(
     dt_a, dt_pipe_a, _ = _time_haar(det_a, frames, iters)
     det_b = HaarDetector(pyramid_chunk=variant_chunk)
     dt_b, dt_pipe_b, _ = _time_haar(det_b, frames, iters)
+    ca, cb = det_a.pyramid_chunk, variant_chunk
     return {
         "haar_ab_frames": source,
-        "haar_ab_chunk2_fps": round(1.0 / dt_a, 1),
-        "haar_ab_chunk2_pipelined_fps": round(1.0 / dt_pipe_a, 1),
-        f"haar_ab_chunk{variant_chunk}_fps": round(1.0 / dt_b, 1),
-        f"haar_ab_chunk{variant_chunk}_pipelined_fps": round(
-            1.0 / dt_pipe_b, 1
-        ),
-        f"haar_ab_chunk{variant_chunk}_dispatches":
-            det_b.last_dispatches,
+        f"haar_ab_chunk{ca}_fps": round(1.0 / dt_a, 1),
+        f"haar_ab_chunk{ca}_pipelined_fps": round(1.0 / dt_pipe_a, 1),
+        f"haar_ab_chunk{ca}_dispatches": det_a.last_dispatches,
+        f"haar_ab_chunk{cb}_fps": round(1.0 / dt_b, 1),
+        f"haar_ab_chunk{cb}_pipelined_fps": round(1.0 / dt_pipe_b, 1),
+        f"haar_ab_chunk{cb}_dispatches": det_b.last_dispatches,
     }
 
 
