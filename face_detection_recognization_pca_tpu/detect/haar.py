@@ -912,6 +912,14 @@ class HaarDetector:
         key = ("pack", c0s)
         if key not in self._pyramid_cache:
 
+            # Donation evaluated and rejected here (SURVEY §5 aliasing
+            # item): the chunk outputs are consumed only by this pack,
+            # but every one is bool/int32 while the packed array is
+            # f32 -- XLA cannot alias across the dtype cast ("Some
+            # donated buffers were not usable" for all of them), so a
+            # donate_argnums here buys nothing and adds a warning.  The
+            # steady-state donation win lives in the tracker state loop
+            # (parallel/multistream.py).
             @jax.jit
             def pack(chunks):
                 parts = [

@@ -121,7 +121,11 @@ def extract_frame_annotations(
         if bw < min_box or bh < min_box:
             continue
         if ys.size / float(bw * bh) < 0.35:  # hollow outline, not a fill
-            ann.boxes.append((x + bx, y + by, bw, bh))
+            # Inset by 2 px/side: the mask bbox spans the thickness-2
+            # stroke plus ~1 px of chroma bleed around the geometric
+            # rectangle cv2.rectangle was given; the scan records that
+            # geometric rectangle, so compare like with like.
+            ann.boxes.append((x + bx + 2, y + by + 2, bw - 4, bh - 4))
     if not ann.boxes:
         return ann
     n, _, stats, _ = cv2.connectedComponentsWithStats(cyan, 8)

@@ -91,6 +91,27 @@ def test_scan_agreement_vs_shipped_mayun_output(reference_root, dual_models):
     assert m["mean_iou"] > 0.8, m  # measured 0.90
 
 
+def test_scan_agreement_vs_shipped_test2_output(reference_root, dual_models):
+    """6-frame prefix of test2.mp4 at native 480x848 (portrait).  Like
+    mayun, the shipped test2 run predates the 200 px size filter (it
+    draws ~65 px boxes from frame 18 on), so the scan runs with
+    min_annotation_box=0.  Its background is annotation-clean, so the
+    recognized set is scored too."""
+    ref_out = oracle.find_shipped_output(reference_root, "test2")
+    video = os.path.join(reference_root, "videos", "test2.mp4")
+    if ref_out is None or not os.path.exists(video):
+        pytest.skip("reference test2.mp4 assets missing")
+    n = 6
+    ref = oracle.extract_annotations(ref_out, max_frames=n, min_box=30)
+    ours = oracle.scan_dual_records(
+        video, dual_models, max_frames=n, min_annotation_box=0
+    )
+    m = oracle.score_agreement(ref, ours)
+    assert m["boxed_jaccard"] == 1.0, m
+    assert m["recognized_jaccard"] == 1.0, m
+    assert m["mean_iou"] > 0.8, m
+
+
 def test_score_agreement_pure():
     """The metric itself, on hand-built annotations."""
     A = oracle.FrameAnnotation
