@@ -748,9 +748,37 @@ def bench_tracker(
             break
     fps = streams / dt
     ok = ok_pos and ok_id
+
+    # Time-fused window path: the same 8 batches as ONE dispatch
+    # (lax.scan over the time axis on device, process_window).  The
+    # per-step path pays a host round-trip per frame-step (~5-10 ms
+    # through this tunnel), which bounds it regardless of compute; the
+    # fused window amortizes it T-fold.  Same planted-exact gate.
+    def run_window():
+        state = msr.init_state(streams, (h, w), boxes0)
+        out, state = msr.process_window(frames, state)
+        jax.block_until_ready(state.origin)
+        return out
+
+    wout = run_window()  # compile + verify
+    ok_w = bool(
+        np.all(np.asarray(wout["x"]) == plants[:, :, 1])
+        and np.all(np.asarray(wout["y"]) == plants[:, :, 0])
+        and np.all(np.asarray(wout["gallery_row"]) == 0)
+    )
+    dt_w = float("inf")
+    for _ in range(max(3, loops)):
+        t0 = time.perf_counter()
+        run_window()
+        dt_w = min(dt_w, (time.perf_counter() - t0) / batches)
+    fps_w = streams / dt_w
+
     return {
         "tracker_fps": round(fps, 1) if ok else 0.0,
         "tracker_step_ms": round(dt * 1e3, 3),
+        "tracker_window_fps": round(fps_w, 1) if ok_w else 0.0,
+        "tracker_window_step_ms": round(dt_w * 1e3, 3),
+        "tracker_window_planted_exact": ok_w,
         "tracker_windows": n_windows,
         "tracker_streams": streams,
         "tracker_batches": batches,

@@ -46,14 +46,7 @@ def _make_step(win: int, tpl: int, template0: np.ndarray):
 
     corr_fn = make_circular_correlator(np.asarray(template0), win, out_n)
 
-    # The (S, 2) origin state feeds back every batch; donating it lets
-    # XLA alias new_origin onto the old buffer (no per-step state copy
-    # -- SURVEY §5's jit-donation/aliasing substitute for sanitizers).
-    # process_batch therefore CONSUMES its state argument; callers must
-    # thread the returned state, never reuse the old one (both in-tree
-    # callers already do).
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def step(frames, origin, t_energy, m, bias, gallery_t, gnorm):
+    def _frame_step(frames, origin, t_energy, m, bias, gallery_t, gnorm):
         s = frames.shape[0]
 
         def window_of(frame, oyx):
@@ -120,7 +113,41 @@ def _make_step(win: int, tpl: int, template0: np.ndarray):
         new_origin = jnp.stack([new_oy, new_ox], axis=1).astype(jnp.int32)
         return ids, conf, tm_conf, box_x, box_y, new_origin
 
-    return step
+    # The (S, 2) origin state feeds back every batch; donating it lets
+    # XLA alias new_origin onto the old buffer (no per-step state copy
+    # -- SURVEY §5's jit-donation/aliasing substitute for sanitizers).
+    # process_batch therefore CONSUMES its state argument; callers must
+    # thread the returned state, never reuse the old one (both in-tree
+    # callers already do).
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(frames, origin, t_energy, m, bias, gallery_t, gnorm):
+        return _frame_step(
+            frames, origin, t_energy, m, bias, gallery_t, gnorm
+        )
+
+    # Time-fused variant: ONE dispatch tracks T consecutive frames per
+    # stream, lax.scan carrying the per-stream window origin across the
+    # time axis ON DEVICE.  The per-frame math is byte-identical to
+    # ``step`` (same _frame_step body); only the dispatch granularity
+    # changes -- through the remote tunnel each dispatch costs ~5-10 ms
+    # of latency, which at one frame/stream/dispatch bounds the tracker
+    # regardless of compute (measured r5: 6.1k fps single-step vs the
+    # headline's 147k for the same per-frame math).  XLA cannot batch
+    # the time axis itself (state feedback is sequential), so scan is
+    # the idiomatic form: compiler-friendly control flow, zero host
+    # round-trips inside the window.
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step_window(frames_ts, origin, t_energy, m, bias, gallery_t, gnorm):
+        def body(org, frames):
+            ids, conf, tm_conf, bx, by, new_org = _frame_step(
+                frames, org, t_energy, m, bias, gallery_t, gnorm
+            )
+            return new_org, (ids, conf, tm_conf, bx, by)
+
+        new_origin, outs = jax.lax.scan(body, origin, frames_ts)
+        return outs + (new_origin,)
+
+    return step, step_window
 
 
 class MultiStreamRecognizer:
@@ -151,7 +178,7 @@ class MultiStreamRecognizer:
             lin.gallery_norm,
         )
         self.labels = lin.labels
-        self._step = _make_step(self.win, tpl, t0)
+        self._step, self._step_window = _make_step(self.win, tpl, t0)
         self.mesh = mesh
         self.data_axis = data_axis
 
@@ -180,6 +207,41 @@ class MultiStreamRecognizer:
             )
         ids, conf, tm_conf, bx, by, new_origin = self._step(
             frames, state.origin, *self._args
+        )
+        return (
+            {
+                "gallery_row": ids,
+                "person_id": self.labels[ids],
+                "confidence": conf,
+                "template_confidence": tm_conf,
+                "x": bx,
+                "y": by,
+            },
+            MultiStreamState(new_origin),
+        )
+
+    def process_window(self, frames_ts: jnp.ndarray, state: MultiStreamState):
+        """Track T consecutive frames per stream in ONE dispatch.
+
+        ``frames_ts``: (T, S, H, W) f32 -- the time axis is scanned ON
+        DEVICE (``lax.scan`` carries each stream's window origin), so a
+        window costs one host round-trip instead of T.  Per-frame math
+        identical to :meth:`process_batch`; results carry a leading T
+        axis.  Like process_batch, the state argument is CONSUMED
+        (donated) -- thread the returned state."""
+        if self.mesh is not None:
+            spec = NamedSharding(
+                self.mesh, P(None, self.data_axis, None, None)
+            )
+            frames_ts = jax.device_put(frames_ts, spec)
+            state = MultiStreamState(
+                jax.device_put(
+                    state.origin,
+                    NamedSharding(self.mesh, P(self.data_axis, None)),
+                )
+            )
+        ids, conf, tm_conf, bx, by, new_origin = self._step_window(
+            frames_ts, state.origin, *self._args
         )
         return (
             {

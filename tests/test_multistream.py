@@ -110,3 +110,41 @@ def test_state_donation_no_copy(setup, rng):
     assert state.origin.unsafe_buffer_pointer() == p_old
     with pytest.raises(RuntimeError):
         np.asarray(old)  # donated away: reuse must fail loudly
+
+
+def test_process_window_matches_sequential_steps(setup, rng):
+    """One time-fused dispatch (lax.scan over T on device) must produce
+    exactly the per-batch results of T sequential process_batch calls:
+    same positions, rows, and confidences, and the same final state."""
+    face, model = setup
+    T, S = 4, 8
+    frames_t = []
+    for t in range(T):
+        offs = [(60 + 5 * i + 2 * t, 100 + 7 * i - t) for i in range(S)]
+        f, _ = _frames(face, rng, offs=offs)
+        frames_t.append(f)
+    frames_ts = jnp.asarray(np.stack(frames_t))  # (T, S, H, W)
+
+    msr = MultiStreamRecognizer(model, face, window=128)
+    st_seq = msr.init_state(S, (240, 320))
+    seq = []
+    for t in range(T):
+        out, st_seq = msr.process_batch(frames_ts[t], st_seq)
+        seq.append(out)
+
+    st_w = msr.init_state(S, (240, 320))
+    win, st_w = msr.process_window(frames_ts, st_w)
+    for t in range(T):
+        for key in ("gallery_row", "x", "y"):
+            np.testing.assert_array_equal(
+                np.asarray(win[key])[t], np.asarray(seq[t][key])
+            )
+        np.testing.assert_allclose(
+            np.asarray(win["confidence"])[t],
+            np.asarray(seq[t]["confidence"]),
+            rtol=0,
+            atol=1e-6,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(st_w.origin), np.asarray(st_seq.origin)
+    )
