@@ -14,11 +14,13 @@ vectorized tracker of :mod:`..parallel.multistream`:
 * results use the guided scanner's record schema, so downstream
   tooling can't tell which engine produced them.
 
-Because the tracker processes a single stream here, the batch axis is
-filled with CONSECUTIVE frames of the same video and the state feeds
-forward batch-to-batch (within a batch, windows use the batch's entry
-box -- equivalent to the reference's +-tolerance prior reuse for slow
-motion, and measured equal on the reference videos).
+Because the tracker processes a single stream here, CONSECUTIVE frames
+fill the TIME axis of :meth:`MultiStreamRecognizer.process_window`:
+one device dispatch tracks a whole batch of frames with the window
+origin fed forward frame-to-frame ON DEVICE (``lax.scan``) -- the
+true per-frame prior chain of the reference's loop (each frame
+searches around the previous frame's box), at one host round-trip per
+batch instead of per frame.
 """
 
 from __future__ import annotations
@@ -118,11 +120,10 @@ def scan_video_tracked(
         box = np.array(
             [[cx - template_side // 2, cy - template_side // 2, 0, 0]]
         )
-        boxes = np.repeat(box, batch, axis=0)
-        state = msr.init_state(batch, (meta.height, meta.width), boxes)
+        state = msr.init_state(1, (meta.height, meta.width), box)
         prior_frame = int(first.frame_number)
     else:
-        state = msr.init_state(batch, (meta.height, meta.width))
+        state = msr.init_state(1, (meta.height, meta.width))
         prior_frame = 0
 
     names_by_id = art.names_by_id
@@ -131,14 +132,16 @@ def scan_video_tracked(
     for stack, n_valid in reader.batches(batch, gray=True):
         if max_frames is not None and frame_no >= max_frames:
             break
-        out, state = msr.process_batch(
-            jnp.asarray(stack.astype(np.float32)), state
+        # (T, S=1, H, W): the batch is the TIME axis; the tracked box
+        # feeds forward frame-to-frame inside the dispatch.
+        out, state = msr.process_window(
+            jnp.asarray(stack.astype(np.float32))[:, None], state
         )
-        pid = np.asarray(out["person_id"])
-        conf = np.asarray(out["confidence"])
-        tm = np.asarray(out["template_confidence"])
-        xs = np.asarray(out["x"])
-        ys = np.asarray(out["y"])
+        pid = np.asarray(out["person_id"])[:, 0]
+        conf = np.asarray(out["confidence"])[:, 0]
+        tm = np.asarray(out["template_confidence"])[:, 0]
+        xs = np.asarray(out["x"])[:, 0]
+        ys = np.asarray(out["y"])[:, 0]
         for i in range(n_valid):
             p = int(pid[i])
             c = float(conf[i])
@@ -157,18 +160,16 @@ def scan_video_tracked(
                     ),
                     "confidence": c,
                     "template_match_confidence": float(tm[i]),
-                    # Frame distance to the prior actually used: every
-                    # frame in a batch searches around the batch's entry
-                    # box, which came from the last frame of the
-                    # previous batch (the JSON prior for the first) --
-                    # the tracker's analog of the reference's
-                    # best_match['ref_frame_diff'] (scan-template-v2.py:549).
+                    # Frame distance to the prior actually used: the
+                    # previous frame's tracked box (the JSON prior for
+                    # the very first frame) -- the tracker's analog of
+                    # the reference's best_match['ref_frame_diff']
+                    # (scan-template-v2.py:549).
                     "ref_frame_diff": abs(frame_no - prior_frame),
                 }
             )
+            prior_frame = frame_no
             frame_no += 1
-        # Next batch's windows use this batch's exit box.
-        prior_frame = frame_no - 1 if frame_no > 0 else prior_frame
     reader.close()
 
     if output_json:
