@@ -92,6 +92,22 @@ def test_dp_mesh_matches_single_device(setup, rng):
         atol=1e-5,
     )
 
+    # The time-fused window path under the same DP mesh: a (T=2, S=8)
+    # window must match the single-device window run exactly.
+    frames_ts = jnp.asarray(np.stack([frames, frames]))
+    st_s = single.init_state(8, (240, 320))
+    w_s, _ = single.process_window(frames_ts, st_s)
+    st_p = dp.init_state(8, (240, 320))
+    w_p, _ = dp.process_window(frames_ts, st_p)
+    np.testing.assert_array_equal(
+        np.asarray(w_s["gallery_row"]), np.asarray(w_p["gallery_row"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_s["confidence"]),
+        np.asarray(w_p["confidence"]),
+        atol=1e-5,
+    )
+
 
 def test_state_donation_no_copy(setup, rng):
     """The steady-state loop's state update is donation-aliased
