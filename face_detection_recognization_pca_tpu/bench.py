@@ -428,8 +428,10 @@ def bench_haar(
     batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5
 ) -> dict:
     """Full-frame Haar detectMultiScale throughput: the fused
-    single-program pyramid (6 chunk dispatches + 1 packed download per
-    frame-batch) on device-resident frames, host grouping included.
+    chunked pyramid (4-level chunks on TPU -> ~8 chunk dispatches + 1
+    packed download per B=8 device sub-batch; see
+    haar_dispatches_per_batch in the result) on device-resident frames,
+    host grouping included.
 
     batch=16 at the caller; the detector splits it into pipelined
     B=8 device sub-batches (the measured-safe ceiling on the current
@@ -606,6 +608,7 @@ def bench_oracle_e2e(
     ``min_annotation_box=0`` -- the shipped mayun run predates the
     200 px size filter -- and box-agreement only (mayun's footage
     contains cyan; see pipeline/oracle.py docstring)."""
+    import shutil
     import tempfile
 
     from face_detection_recognization_pca_tpu.pipeline import oracle
@@ -650,6 +653,7 @@ def bench_oracle_e2e(
         m = oracle.score_agreement(ref, ours, use_recognized=use_rec)
         out.update({f"oracle_{label}_{k}": v for k, v in m.items()})
         out[f"oracle_{label}_wall_s"] = round(time.perf_counter() - t0, 1)
+    shutil.rmtree(td, ignore_errors=True)  # ~4 MB of retrain artifacts
     return out
 
 
@@ -1245,7 +1249,7 @@ def _run_phases(specs, budget_s: float, on_partial=None) -> dict:
 def bench_headline(streams: int = 16, frames_per_iter: int = 1,
                    size: str = "1080p", iters: int = 20,
                    warmup: int = 3, win: int = None,
-                   tpl: int = None) -> dict:
+                   tpl: int = None, with_train: bool = True) -> dict:
     """The metric of record: fused multi-stream guided detect+recognize
     throughput, plus the PCA-train secondary.  Runs in its own process
     under :func:`run_bench` so later phases get the chip alone."""
@@ -1307,18 +1311,24 @@ def bench_headline(streams: int = 16, frames_per_iter: int = 1,
 
     # Secondary metric of record: PCA training wall time at the
     # reference's multi-person scale (969 faces x 4096 pixels, k=100 --
-    # BASELINE.md) on this chip, steady state.
-    from face_detection_recognization_pca_tpu.linalg.pca import snapshot_pca
+    # BASELINE.md) on this chip, steady state.  Skippable: the geom256
+    # experiment wrapper doesn't use it and shouldn't re-pay it inside
+    # the deadline-budgeted extras group.
+    train_wall_s = 0.0
+    if with_train:
+        from face_detection_recognization_pca_tpu.linalg.pca import (
+            snapshot_pca,
+        )
 
-    rng2 = np.random.default_rng(1)
-    train_x = jnp.asarray(
-        rng2.normal(120, 30, (969, 4096)).astype(np.float32)
-    )
-    fit = jax.jit(lambda a: snapshot_pca(a, 100))
-    jax.block_until_ready(fit(train_x))  # compile
-    t1 = time.perf_counter()
-    jax.block_until_ready(fit(train_x))
-    train_wall_s = time.perf_counter() - t1
+        rng2 = np.random.default_rng(1)
+        train_x = jnp.asarray(
+            rng2.normal(120, 30, (969, 4096)).astype(np.float32)
+        )
+        fit = jax.jit(lambda a: snapshot_pca(a, 100))
+        jax.block_until_ready(fit(train_x))  # compile
+        t1 = time.perf_counter()
+        jax.block_until_ready(fit(train_x))
+        train_wall_s = time.perf_counter() - t1
 
     flops_frame = headline_flops_per_frame(win=win, tpl=tpl)
     tflops = float(fps) * flops_frame / 1e12
@@ -1393,7 +1403,8 @@ def bench_headline_geom256(streams: int = 24, iters: int = 20) -> dict:
     (1.5 tiles/side, DESIGN.md section 12).  Same planted-exact
     self-check; reports step_ms/fps/MFU under ``g256_`` keys so the
     metric of record keeps the reference geometry."""
-    out = bench_headline(streams=streams, iters=iters, win=256, tpl=128)
+    out = bench_headline(streams=streams, iters=iters, win=256, tpl=128,
+                         with_train=False)
     d = out.get("detail", {})
     return {
         "g256_fps": out.get("value", 0.0),
