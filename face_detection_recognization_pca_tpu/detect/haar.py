@@ -788,21 +788,24 @@ class HaarDetector:
         # level, and XLA compile time grows superlinearly -- a whole
         # 30-level 960x544 pyramid in one program compiles for >15 min.
         # Per-backend default: 5-level chunks on CPU (fewer, smaller
-        # compiles for the single-core test suite), 4 on TPU -- the r5
-        # same-day A/B (bench_haar_ab, 544p real footage, B=8 device
-        # sub-batches) measured 4-level chunks at 44.6/49.2 fps vs
-        # 36.5/37.2 for the previous 2-level default (+32% pipelined;
-        # fewer dispatches amortize the per-dispatch tunnel overhead)
-        # with no runtime fault.  The r3 fault that forced 2-level
-        # chunks was the 5-level B=16 combination (340 MB of generated
-        # code; compile ok, execute crashed the worker -- DESIGN.md
-        # section 11); 4-level at the B=8 ceiling executes fine.
+        # compiles for the single-core test suite), 8 on TPU -- the r5
+        # same-day ladder (544p real footage, B=8 device sub-batches,
+        # identical detections at every rung, no runtime fault):
+        # 2-level 36.5/37.2 fps -> 4-level 44.6/49.2 (+32%) -> 6-level
+        # 49.8-53.9/53.0-57.4 (+21%) -> 8-level 54.6/58.7 (+11%).
+        # Fewer dispatches amortize the per-dispatch overhead; gains
+        # taper, and program size grows (the biggest 8-level chunk
+        # serializes at 76 MB), so 8 is where we stop.  The r3 fault
+        # that once forced 2-level chunks was the 5-level x B=16
+        # combination (340 MB of generated code; compile ok, execute
+        # crashed the worker -- DESIGN.md section 11); every rung above
+        # was validated at the B=8 ceiling.
         if pyramid_chunk is None:
             try:
                 on_cpu_c = jax.default_backend() == "cpu"
             except Exception:
                 on_cpu_c = False
-            pyramid_chunk = 5 if on_cpu_c else 4
+            pyramid_chunk = 5 if on_cpu_c else 8
         self.pyramid_chunk = pyramid_chunk
         self._pyramid_cache: dict = {}
         # Learned pool-capacity floors per level chunk: when a call's
