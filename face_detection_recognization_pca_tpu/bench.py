@@ -428,8 +428,8 @@ def bench_haar(
     batch: int = 16, size: str = "544p", iters: int = 3, seed: int = 5
 ) -> dict:
     """Full-frame Haar detectMultiScale throughput: the fused
-    chunked pyramid (8-level chunks on TPU -> ~4 chunk dispatches + 1
-    packed download per B=8 device sub-batch; see
+    pyramid (whole pyramid as ONE program on TPU -> 1 chunk dispatch +
+    1 packed download per B=8 device sub-batch; see
     haar_dispatches_per_batch in the result) on device-resident frames,
     host grouping included.
 
@@ -458,14 +458,15 @@ def bench_haar_ab(
     variant_chunk: int = 2,
 ) -> dict:
     """Same-day A/B of the pyramid chunking (VERDICT r4 next #3): the
-    current default (8-level chunks, the fewer/bigger-programs form)
-    vs the r3/r4 2-level config, measured back-to-back in ONE process
-    so tunnel-day variance cancels.  docs/NEXT.md named this the only
-    remaining lever for the r3->r4 Haar regression (65/72 -> 37-41 fps
-    on byte-identical programs); the r5 live ladder measured 2-level
+    current default (whole-pyramid single program) vs the r3/r4
+    2-level config, measured back-to-back in ONE process so tunnel-day
+    variance cancels.  docs/NEXT.md named this the only remaining
+    lever for the r3->r4 Haar regression (65/72 -> 37-41 fps on
+    byte-identical programs); the r5 live ladder measured 2-level
     36.5/37.2 -> 4-level 44.6/49.2 -> 6-level ~50-54/53-57 -> 8-level
-    54.6/58.7 fps same-day (identical detections, no fault), which is
-    why 8 became the TPU default (detect/haar.py).
+    54.6/58.7 -> 12-level 64-67/74 -> whole-pyramid 65.8/77.0 fps
+    same-day (identical detections at every rung, no fault), which is
+    why the whole-pyramid form became the TPU default (detect/haar.py).
 
     Runs in the last extras slot: bigger chunk programs are the
     direction that faulted the v5e runtime at B=16 (DESIGN.md section

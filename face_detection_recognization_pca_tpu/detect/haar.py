@@ -788,24 +788,28 @@ class HaarDetector:
         # level, and XLA compile time grows superlinearly -- a whole
         # 30-level 960x544 pyramid in one program compiles for >15 min.
         # Per-backend default: 5-level chunks on CPU (fewer, smaller
-        # compiles for the single-core test suite), 8 on TPU -- the r5
-        # same-day ladder (544p real footage, B=8 device sub-batches,
-        # identical detections at every rung, no runtime fault):
-        # 2-level 36.5/37.2 fps -> 4-level 44.6/49.2 (+32%) -> 6-level
-        # 49.8-53.9/53.0-57.4 (+21%) -> 8-level 54.6/58.7 (+11%).
-        # Fewer dispatches amortize the per-dispatch overhead; gains
-        # taper, and program size grows (the biggest 8-level chunk
-        # serializes at 76 MB), so 8 is where we stop.  The r3 fault
-        # that once forced 2-level chunks was the 5-level x B=16
-        # combination (340 MB of generated code; compile ok, execute
-        # crashed the worker -- DESIGN.md section 11); every rung above
-        # was validated at the B=8 ceiling.
+        # compiles for the single-core test suite), 24 on TPU -- i.e.
+        # the WHOLE pyramid as one program for any frame size up to
+        # ~24 levels (544p has ~20).  The r5 same-day ladder (544p real
+        # footage, B=8 device sub-batches, identical detections at
+        # every rung, no runtime fault):
+        # 2-level 36.5/37.2 fps -> 4-level 44.6/49.2 -> 6-level
+        # ~50-54/53-57 -> 8-level 54.6/58.7 -> 12-level 64-67/74 ->
+        # whole-pyramid 65.8/77.0 (blocking/pipelined).  Fewer
+        # dispatches amortize the per-dispatch overhead until the
+        # device wall dominates (12-level and whole-pyramid are within
+        # noise; whole-pyramid wins the pipelined/streaming number and
+        # halves host dispatch work).  The r3 fault that once forced
+        # 2-level chunks was the 5-level x B=16 combination (340 MB of
+        # generated code; compile ok, execute crashed the worker --
+        # DESIGN.md section 11); every rung here was validated at the
+        # B=8 ceiling.
         if pyramid_chunk is None:
             try:
                 on_cpu_c = jax.default_backend() == "cpu"
             except Exception:
                 on_cpu_c = False
-            pyramid_chunk = 5 if on_cpu_c else 8
+            pyramid_chunk = 5 if on_cpu_c else 24
         self.pyramid_chunk = pyramid_chunk
         self._pyramid_cache: dict = {}
         # Learned pool-capacity floors per level chunk: when a call's
