@@ -606,10 +606,13 @@ def bench_oracle_e2e(
     recognized-frame-set agreement + per-frame box IoU.
 
     test.mp4 runs at native 960x544 (the warm 544p Haar family);
-    mayun.mp4 at native 386x194 (its own warmed family) with
-    ``min_annotation_box=0`` -- the shipped mayun run predates the
-    200 px size filter -- and box-agreement only (mayun's footage
-    contains cyan; see pipeline/oracle.py docstring)."""
+    mayun.mp4 at native 386x194 (its own warmed family).  Both use
+    ``min_annotation_box=0``: every shipped output predates the 200 px
+    size filter in today's ``useless/scan.py:286`` (verified visually
+    -- test.mp4 frame 146 draws "Unknown (0.72)" on a 62 px wall-decal
+    false positive that our detector scores 0.720 at the same spot).
+    mayun scores box-agreement only (its footage contains cyan; see
+    pipeline/oracle.py docstring)."""
     import shutil
     import tempfile
 
@@ -630,7 +633,7 @@ def bench_oracle_e2e(
     det = _shared_haar()
 
     jobs = [
-        ("test", "test.mp4", max_frames_test, 200, True, 40),
+        ("test", "test.mp4", max_frames_test, 0, True, 40),
         ("mayun", "mayun.mp4", max_frames_mayun, 0, False, 30),
     ]
     for label, vid, max_frames, min_box_ann, use_rec, min_box_ext in jobs:

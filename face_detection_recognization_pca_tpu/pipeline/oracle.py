@@ -22,9 +22,11 @@ Caveats verified against the shipped artifacts (see tests):
 * ``recognized_dual_mayun``'s footage itself contains cyan (a caption
   band), so the recognized-set metric is only sound for test/test2;
   mayun is anchored on box agreement.
-* The shipped mayun run drew boxes down to ~70 px -- the 200 px
-  annotation size filter in today's ``useless/scan.py:286`` was not in
-  effect for it; callers pass ``min_annotation_box=0`` to match.
+* EVERY shipped run predates the 200 px annotation size filter in
+  today's ``useless/scan.py:286``: mayun draws ~70 px boxes, test2
+  ~65 px from frame 18, and test.mp4 frame 146 draws "Unknown (0.72)"
+  on a 62 px wall-decal false positive (our detector scores the same
+  spot 0.720).  Callers pass ``min_annotation_box=0`` to match.
 """
 
 from __future__ import annotations

@@ -50,7 +50,10 @@ def test_extract_annotations_shipped_test_video(reference_root):
         assert len(ann.boxes) == 1
         x, y, w, h = ann.boxes[0]
         assert abs(w - h) <= 4, "reference boxes are squares"
-        assert w >= 200, "scan.py:286 size filter was active for test.mp4"
+        # The main face is naturally >= 200 px in this prefix (the size
+        # filter was NOT active in any shipped run -- frame 146 later
+        # draws a 62 px box; oracle.py module docstring).
+        assert w >= 200
         assert ann.recognized
 
 
@@ -63,7 +66,9 @@ def test_scan_agreement_vs_shipped_test_output(reference_root, dual_models):
         pytest.skip("reference test.mp4 assets missing")
     n = 10
     ref = oracle.extract_annotations(ref_out, max_frames=n)
-    ours = oracle.scan_dual_records(video, dual_models, max_frames=n)
+    ours = oracle.scan_dual_records(
+        video, dual_models, max_frames=n, min_annotation_box=0
+    )
     m = oracle.score_agreement(ref, ours)
     assert m["boxed_jaccard"] == 1.0, m
     assert m["recognized_jaccard"] == 1.0, m
